@@ -1,0 +1,245 @@
+"""Warping / resampling ops (NHWC, XLA-friendly).
+
+Replicates the exact sampling semantics the reference depends on:
+
+- ``flow_warp``: torch ``grid_sample(bilinear, padding_mode='border',
+  align_corners=False)`` over a linspace(-1,1) base grid with flow
+  normalized by (size-1)/2 (reference models.py:730-752).
+- ``bilinear_upsample_x2`` (align_corners=False, models.py:754-760) and
+  ``bilinear_upsample_x2_ac`` (align_corners=True, models.py:761-765).
+- scale-space volume construction + trilinear volume warping used by the
+  SSF family (compressai ScaleSpaceFlow.forward_prediction, inherited at
+  reference models.py:1876, 2254).
+
+All ops are pure jnp (gathers + matmuls) so XLA can fuse them; shapes are
+static under jit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample_bilinear(
+    img: jax.Array,
+    grid: jax.Array,
+    *,
+    padding_mode: str = "border",
+    align_corners: bool = False,
+) -> jax.Array:
+    """torch.nn.functional.grid_sample for NHWC images.
+
+    img: [B, H, W, C]; grid: [B, Ho, Wo, 2] with normalized (x, y) in [-1, 1].
+    Only 'border' and 'zeros' padding are implemented (the reference only
+    uses 'border').
+    """
+    B, H, W, C = img.shape
+    gx = _unnormalize(grid[..., 0], W, align_corners)
+    gy = _unnormalize(grid[..., 1], H, align_corners)
+
+    if padding_mode == "border":
+        gx = jnp.clip(gx, 0.0, W - 1)
+        gy = jnp.clip(gy, 0.0, H - 1)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        idx = yi * W + xi  # [B, Ho, Wo]
+        out = jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        )  # [B, Ho*Wo, C]
+        return out.reshape(idx.shape + (C,))
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    tx = tx[..., None].astype(img.dtype)
+    ty = ty[..., None].astype(img.dtype)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    out = top * (1 - ty) + bot * ty
+
+    if padding_mode == "zeros":
+        inb = (
+            (grid[..., 0] >= -1.0) & (grid[..., 0] <= 1.0)
+            & (grid[..., 1] >= -1.0) & (grid[..., 1] <= 1.0)
+        )
+        out = out * inb[..., None].astype(img.dtype)
+    return out
+
+
+def base_grid(B: int, H: int, W: int, dtype=jnp.float32) -> jax.Array:
+    """linspace(-1,1) mesh grid, channel order (x, y) — models.py:735-737."""
+    xs = jnp.linspace(-1.0, 1.0, W, dtype=dtype)
+    ys = jnp.linspace(-1.0, 1.0, H, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+    g = jnp.stack([gx, gy], axis=-1)  # [H, W, 2]
+    return jnp.broadcast_to(g[None], (B, H, W, 2))
+
+
+def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear backward warp (reference torch_warp, models.py:732-741).
+
+    img: [B, H, W, C]; flow: [B, H, W, 2] in pixels (x-displacement,
+    y-displacement). Flow is normalized by (size-1)/2 and added to a
+    linspace(-1,1) base grid; sampled with border padding,
+    align_corners=False — matching torch defaults used by the reference.
+    """
+    B, H, W, _ = flow.shape
+    norm = jnp.array([2.0 / max(W - 1, 1), 2.0 / max(H - 1, 1)], dtype=flow.dtype)
+    grid = base_grid(B, H, W, dtype=flow.dtype) + flow * norm
+    return grid_sample_bilinear(img, grid, padding_mode="border", align_corners=False)
+
+
+def _resize_matrix_ac(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation weights for bilinear resize with align_corners=True."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        src = i * scale
+        lo = int(math.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        t = src - lo
+        w[i, lo] += 1 - t
+        w[i, hi] += t
+    return w
+
+
+def bilinear_upsample_x2(x: jax.Array) -> jax.Array:
+    """x2 bilinear, align_corners=False (reference bilinearupsacling).
+
+    torch `interpolate(mode='bilinear')` uses half-pixel centers, same as
+    jax.image.resize 'linear'.
+    """
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")
+
+
+def bilinear_upsample_x2_ac(x: jax.Array) -> jax.Array:
+    """x2 bilinear, align_corners=True (reference bilinearupsacling2)."""
+    B, H, W, C = x.shape
+    wy = jnp.asarray(_resize_matrix_ac(H, 2 * H), dtype=x.dtype)
+    wx = jnp.asarray(_resize_matrix_ac(W, 2 * W), dtype=x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("pw,bowc->bopc", wx, y)
+
+
+def avg_pool2(x: jax.Array) -> jax.Array:
+    """2x2 average pool, stride 2 (torch F.avg_pool2d defaults)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.mean(axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Scale-space flow (SSF) volume ops
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel1d(kernel_size: int, sigma: float) -> np.ndarray:
+    half = (kernel_size - 1) * 0.5
+    x = np.arange(kernel_size, dtype=np.float64) - half
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x: jax.Array, sigma: float, kernel_size: int | None = None) -> jax.Array:
+    """Depthwise gaussian blur with replicate (edge) padding, separable.
+
+    Matches compressai.models.utils.gaussian_blur semantics used to build
+    the SSF scale-space volume.
+    """
+    if kernel_size is None:
+        kernel_size = 2 * int(math.ceil(3 * sigma)) + 1
+    k = jnp.asarray(gaussian_kernel1d(kernel_size, sigma), dtype=x.dtype)
+    pad = kernel_size // 2
+    B, H, W, C = x.shape
+    # blur along H
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="edge")
+    kh = k.reshape(kernel_size, 1, 1, 1)
+    xh = jax.lax.conv_general_dilated(
+        xp, jnp.broadcast_to(kh, (kernel_size, 1, 1, C)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    # blur along W
+    xp = jnp.pad(xh, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
+    kw = k.reshape(1, kernel_size, 1, 1)
+    return jax.lax.conv_general_dilated(
+        xp, jnp.broadcast_to(kw, (1, kernel_size, 1, C)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+
+
+def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
+    """Scale-space volume [B, D, H, W, C] with D = num_levels + 1.
+
+    Level 0 is x itself; level 1 is blur(x); deeper levels are built by
+    avg-pool downsampling, blurring and bilinear re-upsampling — mirroring
+    compressai ScaleSpaceFlow.gaussian_volume.
+    """
+    levels = [x]
+    cur = gaussian_blur(x, sigma0)
+    levels.append(cur)
+    for i in range(1, num_levels):
+        cur = avg_pool2(cur)
+        cur = gaussian_blur(cur, sigma0)
+        interp = cur
+        for _ in range(i):
+            interp = bilinear_upsample_x2(interp)
+        levels.append(interp)
+    return jnp.stack(levels, axis=1)
+
+
+def warp_volume(volume: jax.Array, flow: jax.Array, scale_field: jax.Array) -> jax.Array:
+    """Trilinear sample of the scale-space volume (compressai warp_volume).
+
+    volume: [B, D, H, W, C]; flow: [B, H, W, 2] in *normalized* units
+    (added directly to the affine base grid, align_corners=False);
+    scale_field: [B, H, W, 1] normalized depth coordinate in [-1, 1].
+    """
+    B, D, H, W, C = volume.shape
+    # affine_grid(eye) with align_corners=False == half-pixel-centred coords
+    xs = (jnp.arange(W, dtype=flow.dtype) + 0.5) * (2.0 / W) - 1.0
+    ys = (jnp.arange(H, dtype=flow.dtype) + 0.5) * (2.0 / H) - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    grid = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, H, W, 2)) + flow
+
+    # 2D bilinear sample of every depth level with the shared xy grid.
+    vol2d = volume.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * C)
+    sampled = grid_sample_bilinear(
+        vol2d, grid, padding_mode="border", align_corners=False
+    ).reshape(B, H, W, D, C)
+
+    # depth coordinate: unnormalize with align_corners=False, border clamp
+    z = ((scale_field[..., 0] + 1.0) * D - 1.0) * 0.5
+    z = jnp.clip(z, 0.0, D - 1)
+    lv = jnp.arange(D, dtype=z.dtype)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(z[..., None] - lv))  # [B,H,W,D]
+    return jnp.einsum("bhwd,bhwdc->bhwc", wgt.astype(volume.dtype), sampled)
