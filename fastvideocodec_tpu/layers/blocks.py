@@ -1,0 +1,348 @@
+"""Neural building blocks (flax.linen, NHWC).
+
+TPU-native re-implementations of the reference's L3 blocks:
+- ConvLSTM (reference models.py:489-508, entropy_models.py:359-378)
+- ResBlock / Warp_net motion-compensation U-net (models.py:768-830)
+- MEBasic SPyNet level (models.py:833-855)
+- factorized space/time attention + GEGLU feedforward (DVC/subnet/basics.py:130-272)
+- cross-view attention / 1x1-conv attention + SPnet (super_precision.py:19-166)
+- QReLU (compressai.layers.QReLU, used by SSF hyper decoders)
+
+All attention contractions are einsums in bf16/f32 so they map onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvLSTM(nn.Module):
+    """Convolutional LSTM cell; state is concat(c, h) on the channel axis."""
+
+    channels: int
+    forget_bias: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, state):
+        ch = self.channels
+        c, h = jnp.split(state, 2, axis=-1)
+        y = nn.Conv(4 * ch, (3, 3), padding=1, dtype=self.dtype)(
+            jnp.concatenate([x, h], axis=-1)
+        )
+        j, i, f, o = jnp.split(y, 4, axis=-1)
+        f = jax.nn.sigmoid(f + self.forget_bias)
+        i = jax.nn.sigmoid(i)
+        c = c * f + i * jax.nn.relu(j)
+        o = jax.nn.sigmoid(o)
+        h = o * jax.nn.relu(c)
+        return h, jnp.concatenate([c, h], axis=-1)
+
+
+class ResBlock(nn.Module):
+    """relu-conv-relu-conv residual block (reference models.py:768-794)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        h = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype)(
+            jax.nn.relu(x)
+        )
+        h = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype)(
+            jax.nn.relu(h)
+        )
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        return x + h
+
+
+class WarpNet(nn.Module):
+    """Motion-compensation refinement U-net (reference Warp_net, models.py:796-830).
+
+    Input: concat(warped, ref) -> residual correction to the warped frame.
+    """
+
+    out_channels: int = 3
+    width: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from fastvideocodec_tpu.ops.warp import avg_pool2, bilinear_upsample_x2_ac
+
+        w = self.width
+        f = jax.nn.relu(nn.Conv(w, (3, 3), padding=1, dtype=self.dtype)(x))
+        c0 = ResBlock(w, dtype=self.dtype)(f)
+        c1 = ResBlock(w, dtype=self.dtype)(avg_pool2(c0))
+        c2 = ResBlock(w, dtype=self.dtype)(avg_pool2(c1))
+        c3 = ResBlock(w, dtype=self.dtype)(c2)
+        c3_u = c1 + bilinear_upsample_x2_ac(c3)
+        c4 = ResBlock(w, dtype=self.dtype)(c3_u)
+        c4_u = c0 + bilinear_upsample_x2_ac(c4)
+        c5 = ResBlock(w, dtype=self.dtype)(c4_u)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(c5)
+
+
+class MEBasic(nn.Module):
+    """One SPyNet refinement level: 5 7x7 convs (reference models.py:833-855)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for feats in (32, 64, 32, 16):
+            x = jax.nn.relu(nn.Conv(feats, (7, 7), padding=3, dtype=self.dtype)(x))
+        return nn.Conv(2, (7, 7), padding=3, dtype=self.dtype)(x)
+
+
+# ---------------------------------------------------------------------------
+# QReLU
+# ---------------------------------------------------------------------------
+
+_QRELU_ALPHA = 0.9943258522851727
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def qrelu(x, bit_depth: int = 8, beta: int = 100):
+    """clamp(x, 0, 2^bit_depth-1) with the smooth QReLU surrogate gradient
+    (compressai.layers.QReLU; used by SSF hyper_decoder_scale)."""
+    return jnp.clip(x, 0.0, 2 ** bit_depth - 1)
+
+
+def _qrelu_fwd(x, bit_depth, beta):
+    return jnp.clip(x, 0.0, 2 ** bit_depth - 1), x
+
+
+def _qrelu_bwd(bit_depth, beta, x, g):
+    max_value = 2 ** bit_depth - 1
+    scale = _QRELU_ALPHA ** beta
+    grad_sub = jnp.exp(-scale + scale * jnp.abs(2.0 * x / max_value - 1.0)) * g
+    outside = (x < 0) | (x > max_value)
+    return (jnp.where(outside, grad_sub, g),)
+
+
+qrelu.defvjp(_qrelu_fwd, _qrelu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Factorized space/time attention (DVC/subnet/basics.py)
+# ---------------------------------------------------------------------------
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype)(x)
+        h, gates = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gates)
+        return nn.Dense(self.dim, dtype=self.dtype)(h)
+
+
+def _mha(q, k, v, heads: int):
+    """Multi-head attention over [B, N, H*D] tensors; einsum-only."""
+    B, N, HD = q.shape
+    d = HD // heads
+    q = q.reshape(B, N, heads, d) * (d ** -0.5)
+    k = k.reshape(B, k.shape[1], heads, d)
+    v = v.reshape(B, v.shape[1], heads, d)
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+    return out.reshape(B, N, HD)
+
+
+class TokenAttention(nn.Module):
+    """Plain MHA over a token axis (the reference basics.py Attention)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = _mha(q, k, v, self.heads)
+        return nn.Dense(self.dim, dtype=self.dtype)(out)
+
+
+class SpaceTimeAttention(nn.Module):
+    """Stack of (time-attn, space-attn, ff) with pre-LayerNorm, operating on
+    [F, H, W, C] feature maps where F is the frame/batch-token axis
+    (reference analysis.py:44-61 attention path; depth 12 by default).
+
+    Rather than materializing one [1, F*H*W, C] token list and rearranging
+    per sub-layer (torch), we keep [F, HW, C] / [HW, F, C] batched einsums —
+    the same math, XLA-friendly.
+    """
+
+    dim: int
+    depth: int = 12
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        F_, H, W, C = x.shape
+        t = x.reshape(F_, H * W, C)
+        for _ in range(self.depth):
+            # time attention: tokens = frames, batched over pixels
+            tt = nn.LayerNorm(dtype=self.dtype)(t)
+            tt = tt.transpose(1, 0, 2)  # [HW, F, C]
+            tt = TokenAttention(
+                C, self.heads, self.dim_head, dtype=self.dtype
+            )(tt).transpose(1, 0, 2)
+            t = t + tt
+            # space attention: tokens = pixels, batched over frames
+            ts = nn.LayerNorm(dtype=self.dtype)(t)
+            ts = TokenAttention(C, self.heads, self.dim_head, dtype=self.dtype)(ts)
+            t = t + ts
+            tf = nn.LayerNorm(dtype=self.dtype)(t)
+            t = t + GEGLUFeedForward(C, dtype=self.dtype)(tf)
+        return t.reshape(F_, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# Conv-QKV attention (super_precision.py Attention) + SPnet
+# ---------------------------------------------------------------------------
+
+
+class ConvAttention(nn.Module):
+    """1x1-conv qkv attention.
+
+    atype=0: tokens = pixels of each item ([B, HW]) — SPnet mid attention.
+    atype=2: tokens = (view, x, y) across the folded view axis — the MCVC-IA
+    cross-view attention (super_precision.py:94-125, reshape
+    '(b v) c h w -> b h c (v x y)').
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    atype: int = 0
+    num_views: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.atype == 0:
+            tokens = H * W
+            q, k, v = (t.reshape(B, tokens, inner) for t in (q, k, v))
+            out = _mha(q, k, v, self.heads)
+            out = out.reshape(B, H, W, inner)
+        else:
+            V = self.num_views
+            b = B // V
+            tokens = V * H * W
+            q, k, v = (t.reshape(b, tokens, inner) for t in (q, k, v))
+            out = _mha(q, k, v, self.heads)
+            out = out.reshape(B, H, W, inner)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis with a scale param
+    (super_precision.py LayerNorm, biased variance)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        eps = 1e-5
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+
+
+class WSConvBlock(nn.Module):
+    """WeightStandardizedConv2d 3x3 + GroupNorm + SiLU (super_precision.py Block)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.dim_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+        eps = 1e-5
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        wk = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wk.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(y)
+        return jax.nn.silu(y)
+
+
+class ResnetBlock(nn.Module):
+    """Two WSConvBlocks + 1x1 skip (super_precision.py ResnetBlock)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = WSConvBlock(self.dim_out, self.groups, dtype=self.dtype)(x)
+        h = WSConvBlock(self.dim_out, self.groups, dtype=self.dtype)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+class SPnet(nn.Module):
+    """Super-precision net predicting a dequantization correction from
+    (round_y, Q_y_prior) — reference super_precision.py:129-166.
+
+    init 7x7 conv to 8*dim -> ResnetBlock -> PreNorm(ConvAttention) residual
+    -> ResnetBlock -> concat skip -> ResnetBlock(dim) -> 1x1 conv out.
+    """
+
+    output_channels: int = 192
+    dim: int = 64
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = 8 * self.dim
+        x = nn.Conv(mid, (7, 7), padding=3, dtype=self.dtype)(x)
+        r = x
+        x = ResnetBlock(mid, self.groups, dtype=self.dtype)(x)
+        a = ChannelLayerNorm(mid, dtype=self.dtype)(x)
+        x = x + ConvAttention(mid, heads=4, dim_head=32, dtype=self.dtype)(a)
+        x = ResnetBlock(mid, self.groups, dtype=self.dtype)(x)
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, self.groups, dtype=self.dtype)(x)
+        return nn.Conv(self.output_channels, (1, 1), dtype=self.dtype)(x)

@@ -1,0 +1,262 @@
+"""Analysis/synthesis transforms (flax.linen, NHWC).
+
+DVC-family transforms (reference DVC/subnet/{analysis,synthesis,analysis_mv,
+synthesis_mv,analysis_prior,synthesis_prior}.py) and SSF-family conv stacks
+(reference models.py:1877-1957 Encoder/Decoder/HyperEncoder/HyperDecoder/
+FlowPredictor). Channel constants mirror DVC/subnet/basics.py:23-27.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fastvideocodec_tpu.layers.blocks import SpaceTimeAttention, qrelu
+from fastvideocodec_tpu.ops.gdn import GDN
+
+OUT_CHANNEL_N = 64
+OUT_CHANNEL_M = 96
+OUT_CHANNEL_MV = 128
+
+
+def _conv(feats, k, s, dtype):
+    return nn.Conv(feats, (k, k), strides=(s, s), padding=k // 2, dtype=dtype)
+
+
+def _deconv(feats, k, s, dtype):
+    # torch ConvTranspose2d(k, s, padding=k//2, output_padding=s-1) doubles
+    # spatial dims for s=2; flax SAME padding transposed conv does the same.
+    return nn.ConvTranspose(feats, (k, k), strides=(s, s), padding="SAME", dtype=dtype)
+
+
+def leaky01(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+class AnalysisNet(nn.Module):
+    """Residual analysis: 4x (5x5 s2 conv + GDN) (DVC/subnet/analysis.py:10-61)."""
+
+    conv_channels: int = OUT_CHANNEL_N
+    out_channels: int = OUT_CHANNEL_M
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.conv_channels
+        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
+        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
+        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
+        x = _conv(self.out_channels, 5, 2, self.dtype)(x)
+        if self.use_attn:
+            x = SpaceTimeAttention(
+                self.out_channels, depth=self.attn_depth, dtype=self.dtype
+            )(x)
+        return x
+
+
+class SynthesisNet(nn.Module):
+    """Residual synthesis: 4x (5x5 s2 deconv + IGDN) (DVC/subnet/synthesis.py:8-60)."""
+
+    conv_channels: int = OUT_CHANNEL_N
+    out_channels: int = 3
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_attn:
+            x = SpaceTimeAttention(x.shape[-1], depth=self.attn_depth, dtype=self.dtype)(x)
+        c = self.conv_channels
+        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
+        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
+        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
+        return _deconv(self.out_channels, 5, 2, self.dtype)(x)
+
+
+class AnalysisMVNet(nn.Module):
+    """Motion analysis: 8 3x3 convs, 4 strided, LeakyReLU(0.1)
+    (DVC/subnet/analysis_mv.py:8-80)."""
+
+    conv_channels: int = OUT_CHANNEL_MV
+    out_channels: int = OUT_CHANNEL_MV
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.conv_channels
+        for stride in (2, 1, 2, 1, 2, 1, 2):
+            x = leaky01(_conv(c, 3, stride, self.dtype)(x))
+        x = _conv(self.out_channels, 3, 1, self.dtype)(x)
+        if self.use_attn:
+            x = SpaceTimeAttention(
+                self.out_channels, depth=self.attn_depth, dtype=self.dtype
+            )(x)
+        return x
+
+
+class SynthesisMVNet(nn.Module):
+    """Motion synthesis: mirrored 8-layer stack (DVC/subnet/synthesis_mv.py:9-81)."""
+
+    conv_channels: int = OUT_CHANNEL_MV
+    out_channels: int = 2
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_attn:
+            x = SpaceTimeAttention(x.shape[-1], depth=self.attn_depth, dtype=self.dtype)(x)
+        c = self.conv_channels
+        for up in (True, False, True, False, True, False, True):
+            if up:
+                x = leaky01(_deconv(c, 3, 2, self.dtype)(x))
+            else:
+                x = leaky01(_conv(c, 3, 1, self.dtype)(x))
+        return _conv(self.out_channels, 3, 1, self.dtype)(x)
+
+
+class AnalysisPriorNet(nn.Module):
+    """Hyper analysis: abs -> conv3 s1 -> conv5 s2 -> conv5 s2
+    (DVC/subnet/analysis_prior.py:10-58)."""
+
+    conv_channels: int = OUT_CHANNEL_N
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.conv_channels
+        x = jnp.abs(x)
+        x = jax.nn.relu(_conv(c, 3, 1, self.dtype)(x))
+        if self.use_attn:
+            x = SpaceTimeAttention(c, depth=self.attn_depth, dtype=self.dtype)(x)
+        x = jax.nn.relu(_conv(c, 5, 2, self.dtype)(x))
+        return _conv(c, 5, 2, self.dtype)(x)
+
+
+class SynthesisPriorNet(nn.Module):
+    """Hyper synthesis producing sigma = exp(out)
+    (DVC/subnet/synthesis_prior.py:11-62)."""
+
+    conv_channels: int = OUT_CHANNEL_N
+    out_channels: int = OUT_CHANNEL_M
+    use_attn: bool = False
+    attn_depth: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.conv_channels
+        x = jax.nn.relu(_deconv(c, 5, 2, self.dtype)(x))
+        if self.use_attn:
+            x = SpaceTimeAttention(c, depth=self.attn_depth, dtype=self.dtype)(x)
+        x = jax.nn.relu(_deconv(c, 5, 2, self.dtype)(x))
+        x = _conv(self.out_channels, 3, 1, self.dtype)(x)
+        return jnp.exp(x)
+
+
+# ---------------------------------------------------------------------------
+# SSF-family conv stacks (reference models.py:1877-1957)
+# ---------------------------------------------------------------------------
+
+
+class SSFEncoder(nn.Module):
+    """4x (5x5 s2 conv + ReLU except last) (models.py:1877-1889)."""
+
+    mid_planes: int = 128
+    out_planes: int = 192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+        return _conv(self.out_planes, 5, 2, self.dtype)(x)
+
+
+class SSFDecoder(nn.Module):
+    """4x (5x5 s2 deconv + ReLU except last) (models.py:1890-1902)."""
+
+    mid_planes: int = 128
+    out_planes: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        return _deconv(self.out_planes, 5, 2, self.dtype)(x)
+
+
+class SSFHyperEncoder(nn.Module):
+    """3x (5x5 s2 conv, ReLU between) (models.py:1916-1926)."""
+
+    mid_planes: int = 192
+    out_planes: int = 192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+        return _conv(self.out_planes, 5, 2, self.dtype)(x)
+
+
+class SSFHyperDecoder(nn.Module):
+    """3x (5x5 s2 deconv, ReLU between) (models.py:1927-1937)."""
+
+    mid_planes: int = 192
+    out_planes: int = 192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        return _deconv(self.out_planes, 5, 2, self.dtype)(x)
+
+
+class SSFHyperDecoderQReLU(nn.Module):
+    """HyperDecoder with QReLU activations (models.py:1938-1957)."""
+
+    mid_planes: int = 192
+    out_planes: int = 192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = qrelu(_deconv(m, 5, 2, self.dtype)(x))
+        x = qrelu(_deconv(m, 5, 2, self.dtype)(x))
+        return qrelu(_deconv(self.out_planes, 5, 2, self.dtype)(x))
+
+
+class FlowPredictor(nn.Module):
+    """4x (5x5 s1 conv + ReLU except last) predicting motion_info from
+    (x_ref, x_ref_ref, motion_prior) (models.py:1903-1915, 2001)."""
+
+    mid_planes: int = 128
+    out_planes: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        m = self.mid_planes
+        x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+        x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+        x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+        return _conv(self.out_planes, 5, 1, self.dtype)(x)

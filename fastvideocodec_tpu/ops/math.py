@@ -118,9 +118,15 @@ def bits_estimate_unclamped(likelihoods: jax.Array, axis=None) -> jax.Array:
 
 def scale_table(
     min_: float = SCALES_MIN, max_: float = SCALES_MAX, levels: int = SCALES_LEVELS
-) -> jax.Array:
-    """exp-spaced scale table (reference entropy_models.py:18-23)."""
-    return jnp.exp(jnp.linspace(math.log(min_), math.log(max_), levels))
+):
+    """exp-spaced scale table (reference entropy_models.py:18-23).
+
+    Returns a host-side numpy array (it's a static constant — building it
+    with jnp would capture a tracer when a module is constructed under jit).
+    """
+    import numpy as np
+
+    return np.exp(np.linspace(math.log(min_), math.log(max_), levels))
 
 
 def build_indexes(scales: jax.Array, table: jax.Array) -> jax.Array:
