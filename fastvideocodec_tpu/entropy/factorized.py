@@ -120,6 +120,12 @@ class EntropyBottleneck(nn.Module):
         this with its own optimizer group (reference train.py aux optimizer).
         """
         matrices, biases, factors = self._make_params()
+        # only the quantiles receive this gradient (compressai optimizes
+        # aux_loss with a dedicated optimizer over '.quantiles' params)
+        sg = jax.lax.stop_gradient
+        matrices = [sg(m) for m in matrices]
+        biases = [sg(b) for b in biases]
+        factors = [sg(f) for f in factors]
         quantiles = self._quantiles()
         logits = self._logits_cumulative(quantiles, matrices, biases, factors)
         target = float(np.log(2.0 / self.tail_mass - 1.0))

@@ -106,6 +106,10 @@ class SSFHyperprior(nn.Module):
 
         scales = self.hyper_decoder_scale(z_hat)
         means = self.hyper_decoder_mean(z_hat)
+        # the 3x stride-2 hyper decoder emits 8*ceil(y/8) pixels; crop to y
+        # (lets non-multiple-of-128 inputs work, unlike compressai)
+        scales = scales[:, : y.shape[1], : y.shape[2], :]
+        means = means[:, : y.shape[1], : y.shape[2], :]
         _, y_lik = self.gaussian(y, scales, means=means, training=training, rng=rngs[1])
         y_hat = quantize_ste(y - means) + means
         q_y = jnp.round(y - means) + means

@@ -1,0 +1,203 @@
+"""LSVC ("Hermes"): tree-structured layered codec — the reference's core
+contribution (models.py:1157-1411).
+
+All P-frames of a GOP are coded against a binary reference tree instead of
+a chain: optical flow and motion coding run for EVERY P-frame in one batch
+(flow targets are the raw tree parents, available at encode time); then
+motion compensation + residual coding proceed layer by layer (depth =
+log2(GOP)), each layer fully batched.
+
+TPU mapping: the tree schedule is static per GOP size, so each layer is a
+fixed gather + one batched conv stack — XLA sees log2(GOP) sequential
+stages of large MXU-friendly batches (SURVEY.md §3.3). Rates are Laplace
+(residual feature, sigma from the hyper decoder) + BitEstimator (z, mv),
+exactly the reference's iclr18 estimators (models.py:1216-1299).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fastvideocodec_tpu.entropy.bit_estimator import BitEstimator
+from fastvideocodec_tpu.gop.graph import TreeSchedule, tree_schedule
+from fastvideocodec_tpu.layers.blocks import WarpNet
+from fastvideocodec_tpu.layers.spynet import SpyNet
+from fastvideocodec_tpu.layers.transforms import (
+    OUT_CHANNEL_N,
+    AnalysisMVNet,
+    AnalysisNet,
+    AnalysisPriorNet,
+    SynthesisMVNet,
+    SynthesisNet,
+    SynthesisPriorNet,
+)
+from fastvideocodec_tpu.ops import bits_estimate, flow_warp, laplace_likelihood, quantize
+
+
+class LSVC(nn.Module):
+    """__call__(x: [T, H, W, 3]) codes the whole GOP (frame 0 = I-frame)."""
+
+    channels: int = 128          # mv latent channels ('-128' variant)
+    use_attn: bool = False       # '-A': attention in analysis transforms
+    use_syn_attn: bool = False   # '-S': attention in synthesis transforms
+    graph: str = "tree"          # 'tree' | 'chain' ('-L') | 'onehop' ('-O')
+    detach_tree: bool = False    # '-D': stop-gradient between tree layers
+    attn_depth: int = 12         # reference uses 12 attention blocks
+    per_layer_mv: bool = False   # stage flow/mv coding per tree layer:
+    # same math/bits (flow still targets RAW parents), but peak activation
+    # memory drops ~2x — needed for whole-GOP 1080p on one 16GB chip
+    layer_chunk: int = 0         # >0: split tree layers into chunks of at
+    # most this many frames (sequential); bounds peak HBM at high res
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        self.optic_flow = SpyNet(dtype=dt)
+        d = self.attn_depth
+        self.mv_encoder = AnalysisMVNet(
+            use_attn=self.use_attn, conv_channels=self.channels,
+            out_channels=self.channels, attn_depth=d, dtype=dt,
+        )
+        self.mv_decoder = SynthesisMVNet(
+            use_attn=self.use_syn_attn, conv_channels=self.channels,
+            attn_depth=d, dtype=dt,
+        )
+        self.res_encoder = AnalysisNet(use_attn=self.use_attn, attn_depth=d, dtype=dt)
+        self.res_decoder = SynthesisNet(
+            use_attn=self.use_syn_attn, attn_depth=d, dtype=dt
+        )
+        self.prior_encoder = AnalysisPriorNet(
+            use_attn=self.use_attn, attn_depth=d, dtype=dt
+        )
+        self.prior_decoder = SynthesisPriorNet(
+            use_attn=self.use_syn_attn, attn_depth=d, dtype=dt
+        )
+        self.bit_estimator_mv = BitEstimator(self.channels)
+        self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
+        self.warpnet = WarpNet(dtype=dt)
+
+    def schedule(self, bs: int) -> TreeSchedule:
+        return tree_schedule(
+            bs, is_linear=self.graph == "chain", is_onehop=self.graph == "onehop"
+        )
+
+    def motioncompensation(self, ref, mv):
+        warped = flow_warp(ref, mv)
+        pred = self.warpnet(jnp.concatenate([warped, ref], axis=-1)) + warped
+        return pred, warped
+
+    def res_codec(self, res, training, rng):
+        """Residual codec with Laplace-sigma hyperprior (models.py:1301-1333)."""
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        feature = self.res_encoder(res)
+        z = self.prior_encoder(feature)
+        z_q = quantize(z, training, rngs[0])
+        sigma = self.prior_decoder(z_q)
+        feature_q = quantize(feature, training, rngs[1])
+        res_hat = self.res_decoder(feature_q)
+        bits = bits_estimate(laplace_likelihood(feature_q, sigma)) + bits_estimate(
+            self.bit_estimator_z.likelihood(z_q)
+        )
+        return res_hat, bits
+
+    def mv_codec(self, mv, training, rng):
+        latent = self.mv_encoder(mv)
+        latent_q = quantize(latent, training, rng)
+        mv_hat = self.mv_decoder(latent_q)
+        bits = bits_estimate(self.bit_estimator_mv.likelihood(latent_q))
+        return mv_hat, bits
+
+    def __call__(self, x, training: bool, rng=None):
+        """x: [T, H, W, 3] GOP with the (already-coded) I-frame at index 0.
+
+        Returns (com_frames [T-1,...], mc_frames, warped_frames, metrics).
+        """
+        T, H, W, _ = x.shape
+        bs = T - 1
+        sched = self.schedule(bs)
+        rngs = (
+            jax.random.split(rng, 1 + sched.depth)
+            if rng is not None
+            else [None] * (1 + sched.depth)
+        )
+
+        # Stage 1 (fully batched): flow for ALL P-frames vs raw tree parents
+        # + motion coding in one batch (models.py:1354-1355). With
+        # per_layer_mv the same computation runs inside the layer loop on
+        # layer-sized batches instead (identical outputs, lower peak HBM).
+        target = x[1:]
+        if not self.per_layer_mv:
+            ref_raw = x[jnp.asarray(sched.ref_index)]
+            est_mv = self.optic_flow(target, ref_raw)
+            mv_hat, bits_mv = self.mv_codec(est_mv, training, rngs[0])
+        else:
+            mv_hat, bits_mv = None, 0.0
+
+        # Stage 2: per tree layer, batched MC + residual coding against
+        # *reconstructed* parents (models.py:1363-1394).
+        com = [None] * bs
+        mc = [None] * bs
+        warped = [None] * bs
+        bits_res = 0.0
+        for li, layer in enumerate(sched.layers):
+            chunk = self.layer_chunk if self.layer_chunk > 0 else len(layer)
+            for ci in range(0, len(layer), chunk):
+                part = layer[ci : ci + chunk]
+                refs = []
+                for fid in part:
+                    parent = sched.parents[fid]
+                    refs.append(x[0] if parent == 0 else com[parent - 1])
+                ref = jnp.stack(refs)
+                if self.detach_tree or self.graph == "chain":
+                    ref = jax.lax.stop_gradient(ref)
+                ids = jnp.asarray([fid - 1 for fid in part])
+                tgt = target[ids]
+                if self.per_layer_mv:
+                    ref_raw = x[jnp.asarray([sched.ref_index[fid - 1] for fid in part])]
+                    est_mv = self.optic_flow(tgt, ref_raw)
+                    diff, mv_bits_l = self.mv_codec(
+                        est_mv, training, rngs[0] if rngs[0] is None else
+                        jax.random.fold_in(rngs[0], li * 64 + ci)
+                    )
+                    bits_mv = bits_mv + mv_bits_l
+                else:
+                    diff = mv_hat[ids]
+
+                mc_frames, warped_frames = self.motioncompensation(ref, diff)
+                res = tgt - mc_frames
+                res_hat, rb = self.res_codec(res, training, rngs[1 + li])
+                com_frames = jnp.clip(res_hat + mc_frames, 0.0, 1.0)
+                bits_res = bits_res + rb
+                for i, fid in enumerate(part):
+                    com[fid - 1] = com_frames[i]
+                    mc[fid - 1] = mc_frames[i]
+                    warped[fid - 1] = warped_frames[i]
+
+        com_frames = jnp.stack(com)
+        mc_frames = jnp.stack(mc)
+        warped_frames = jnp.stack(warped)
+
+        rec_loss = jnp.mean((com_frames - target) ** 2)
+        warp_loss = jnp.mean((warped_frames - target) ** 2)
+        mc_loss = jnp.mean((mc_frames - target) ** 2)
+        denom = bs * H * W
+        metrics = {
+            "rec_loss": rec_loss,
+            "warp_loss": warp_loss,
+            "mc_loss": mc_loss,
+            "bpp_res": bits_res / denom,
+            "bpp_mv": bits_mv / denom,
+            "bpp": (bits_res + bits_mv) / denom,
+        }
+        return com_frames, mc_frames, warped_frames, metrics
+
+    def decode_gop(self, x_iframe, mv_hat, res_features):
+        """Placeholder for the real-bitstream decode path (round 2: consumes
+        host-decoded latents layer by layer, mirroring
+        TreeFrameReconDecompress models.py:1129-1152)."""
+        raise NotImplementedError
+
+    def aux_loss(self):
+        return jnp.zeros(())

@@ -1,0 +1,198 @@
+"""MCVC / MCVC-IA(-OLFT): multi-camera joint codec.
+
+Reference models.py:2240-2400. Views are folded into the batch axis
+([B*V, H, W, 3]); per-GOP a random subset of views "fails" and is zero-
+masked. The IA ("imbalanced attention") variant adds backup img/res
+decoders whose first stage is a cross-view attention over (view, x, y)
+tokens, decoding *masked* latents so surviving views reconstruct the lost
+ones. OLFT ("online fine-tuning") additionally samples the top-r% pixels by
+reconstruction error as host-side "touch-up" labels (models.py:2192-2235) —
+see `fastvideocodec_tpu.train.olft`.
+
+TPU mapping: the folded view axis is shardable over the mesh 'view' axis;
+the cross-view attention is the only op coupling views, and XLA turns it
+into an all-gather over ICI (SURVEY.md §2.7 'view parallel').
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fastvideocodec_tpu.entropy.hyperprior import SSFHyperprior
+from fastvideocodec_tpu.layers.blocks import ConvAttention
+from fastvideocodec_tpu.layers.transforms import SSFDecoder, SSFEncoder
+from fastvideocodec_tpu.models.ssf import ScaleSpaceFlow
+
+
+class AttnDecoder(nn.Module):
+    """Residual cross-view attention followed by the SSF decoder stack
+    (reference MCVC Decoder with attn=True, models.py:2256-2280)."""
+
+    out_planes: int
+    num_views: int
+    use_attn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_attn:
+            x = x + ConvAttention(
+                x.shape[-1], heads=8, dim_head=64, atype=2,
+                num_views=self.num_views, dtype=self.dtype,
+            )(x)
+        return SSFDecoder(out_planes=self.out_planes, dtype=self.dtype)(x)
+
+
+def mask_views(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Zero failed views. x: [B*V, ...]; mask: [B*V] of {0,1}."""
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    return x * mask.reshape(shape).astype(x.dtype)
+
+
+def sample_view_mask(
+    rng: np.random.Generator,
+    batch: int,
+    num_views: int,
+    max_failed: int,
+    failure_probability: float = 0.1,
+    force_resilience: int = -1,
+    training: bool = True,
+) -> np.ndarray:
+    """Host-side binomial view-failure draw (models.py:2140-2183).
+
+    Returns a {0,1} mask of shape [batch*num_views]; the same views fail
+    across the batch replica dimension, matching the reference.
+    """
+    max_failed = min(num_views - 1, max_failed)
+    if force_resilience >= 0:
+        failed = force_resilience
+    elif max_failed <= 0:
+        failed = 0
+    else:
+        ks = np.arange(max_failed + 1)
+        if training:
+            from math import comb
+
+            p = failure_probability
+            probs = np.array(
+                [comb(num_views, int(k)) * p ** k * (1 - p) ** (num_views - k) for k in ks],
+                dtype=np.float64,
+            )
+            probs /= probs.sum()
+        else:
+            probs = np.full(max_failed + 1, 1.0 / (max_failed + 1))
+        failed = int(rng.choice(ks, p=probs))
+    alive = rng.choice(num_views, size=num_views - failed, replace=False)
+    view_mask = np.zeros(num_views, dtype=np.float32)
+    view_mask[alive] = 1.0
+    return np.tile(view_mask, batch)
+
+
+class MCVC(nn.Module):
+    """__call__ runs a whole GOP: frames [T, B*V, H, W, 3] + mask [B*V]."""
+
+    num_views: int = 4
+    imbalanced_correlation: bool = True  # '-IA'
+    use_attn: bool = True
+    num_levels: int = 5
+    sigma0: float = 1.5
+    scale_field_shift: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        self.img_encoder = SSFEncoder(dtype=dt)
+        self.img_decoder = SSFDecoder(out_planes=3, dtype=dt)
+        self.img_hyperprior = SSFHyperprior(dtype=dt)
+        self.motion_encoder = SSFEncoder(dtype=dt)
+        self.motion_decoder = SSFDecoder(out_planes=3, dtype=dt)
+        self.motion_hyperprior = SSFHyperprior(dtype=dt)
+        self.res_encoder = SSFEncoder(dtype=dt)
+        self.res_decoder = SSFDecoder(out_planes=3, dtype=dt)
+        self.res_hyperprior = SSFHyperprior(dtype=dt)
+        if self.imbalanced_correlation:
+            self.backup_img_decoder = AttnDecoder(
+                3, self.num_views, self.use_attn, dtype=dt
+            )
+            self.backup_res_decoder = AttnDecoder(
+                3, self.num_views, self.use_attn, dtype=dt
+            )
+
+    forward_prediction = ScaleSpaceFlow.forward_prediction
+
+    def forward_keyframe(self, x, mask, training: bool, rng=None):
+        x = mask_views(x, mask)
+        y = self.img_encoder(x)
+        y_hat, lik, _ = self.img_hyperprior(y, training=training, rng=rng)
+        x_hat = self.img_decoder(y_hat)
+        if not self.imbalanced_correlation:
+            return x_hat, x_hat, {"keyframe": lik}
+        masked_x_hat = self.backup_img_decoder(mask_views(y_hat, mask))
+        return x_hat, masked_x_hat, {"keyframe": lik}
+
+    def forward_inter(self, x_cur, x_ref, mask, training: bool, rng=None):
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        x_cur = mask_views(x_cur, mask)
+        x_ref = mask_views(x_ref, mask)
+
+        y_motion = self.motion_encoder(jnp.concatenate([x_cur, x_ref], axis=-1))
+        y_motion_hat, motion_lik, _ = self.motion_hyperprior(
+            y_motion, training=training, rng=rngs[0]
+        )
+        motion_info = self.motion_decoder(y_motion_hat)
+        x_pred = self.forward_prediction(x_ref, motion_info)
+
+        x_res = x_cur - x_pred
+        y_res = self.res_encoder(x_res)
+        y_res_hat, res_lik, _ = self.res_hyperprior(y_res, training=training, rng=rngs[1])
+        x_res_hat = self.res_decoder(jnp.concatenate([y_res_hat, y_motion_hat], axis=-1))
+        x_rec = x_pred + x_res_hat
+
+        lik = {"motion": motion_lik, "residual": res_lik}
+        if not self.imbalanced_correlation:
+            return x_rec, x_rec, lik
+        ym = mask_views(y_motion_hat, mask)
+        yr = mask_views(y_res_hat, mask)
+        masked_x_res_hat = self.backup_res_decoder(jnp.concatenate([yr, ym], axis=-1))
+        masked_x_rec = x_pred + masked_x_res_hat
+        return x_rec, masked_x_rec, lik
+
+    def __call__(self, frames, mask, training: bool, rng=None):
+        """frames: [T, B*V, H, W, 3]; mask: [B*V] of {0,1}.
+
+        Returns (reconstructions [T, ...] — the *enhanced* (backup-decoded)
+        frames for IA, likelihood pytrees list, references list) matching
+        the reference forward (models.py:2297-2352). The GOP loop is a
+        python loop over a static T (frames per GOP is fixed at trace time)
+        so the cross-view attention stays one fused batched op per frame.
+        """
+        T = frames.shape[0]
+        rngs = (
+            jax.random.split(rng, T) if rng is not None else [None] * T
+        )
+        x_ref, x_enh, lik0 = self.forward_keyframe(
+            frames[0], mask, training=training, rng=rngs[0]
+        )
+        recons = [x_enh]
+        refs = [x_ref]
+        liks = [lik0]
+        x_ref = jax.lax.stop_gradient(x_ref)
+        for i in range(1, T):
+            x_rec, x_enh, lik = self.forward_inter(
+                frames[i], x_ref, mask, training=training, rng=rngs[i]
+            )
+            recons.append(x_enh)
+            refs.append(x_rec)
+            liks.append(lik)
+            x_ref = jax.lax.stop_gradient(x_rec)
+        return jnp.stack(recons), liks, jnp.stack(refs)
+
+    def aux_loss(self):
+        return (
+            self.img_hyperprior.aux_loss()
+            + self.motion_hyperprior.aux_loss()
+            + self.res_hyperprior.aux_loss()
+        )

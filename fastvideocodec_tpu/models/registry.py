@@ -1,0 +1,121 @@
+"""Codec registry: typed configs + a compatibility parser for the
+reference's name-string encoding (SURVEY.md §5 'Config / flag system').
+
+The reference encodes model variants in the codec name ('-A' attention,
+'-128' channels, '-L'/'-O'/'-D' graph shape, '-EC'/'-ER', '-SP', 'MCVC-IA',
+'MCVC-IA-OLFT' — models.py:1161-1166, 1553-1554, 2002, 2255) and keys the
+RD operating point by compression_level into hardcoded lambda / BPG tables
+(models.py:68-86). `get_codec_model(name, ...)` accepts the same names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from fastvideocodec_tpu.models.base import Base
+from fastvideocodec_tpu.models.dvc import DVC
+from fastvideocodec_tpu.models.elfvc import ELFVC
+from fastvideocodec_tpu.models.lsvc import LSVC
+from fastvideocodec_tpu.models.mcvc import MCVC
+from fastvideocodec_tpu.models.rlvc import RLVC
+from fastvideocodec_tpu.models.ssf import ScaleSpaceFlow
+
+# reference models.py:72-76
+PSNR_LAMBDAS = [256, 512, 1024, 2048, 4096, 8192, 16384, 16384 * 2, 16384 * 4]
+MSSSIM_LAMBDAS = [8, 16, 32, 64]
+I_LEVELS = [37, 32, 27, 22, 17, 12, 7, 2, 1]
+
+
+@dataclass
+class CodecSpec:
+    """A constructed codec module plus its training/eval operating point."""
+
+    name: str
+    family: str  # 'dvc' | 'rlvc' | 'lsvc' | 'base' | 'ssf' | 'elfvc' | 'mcvc'
+    module: object
+    loss_type: str = "P"
+    compression_level: int = 2
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def r(self) -> float:
+        table = PSNR_LAMBDAS if self.loss_type == "P" else MSSSIM_LAMBDAS
+        return float(table[self.compression_level])
+
+    @property
+    def I_level(self) -> int:
+        return I_LEVELS[self.compression_level]
+
+
+def get_codec_model(
+    name: str,
+    loss_type: str = "P",
+    compression_level: int = 2,
+    num_views: int = 0,
+    resilience: int = 0,
+    use_attn: bool = True,
+    sp_stage: int = 1,
+    dtype=jnp.float32,
+) -> CodecSpec:
+    """Name-compatible factory (reference get_codec_model, models.py:32-66)."""
+    extras: dict = {}
+    if name in ("RLVC", "DVC"):  # reference keyword 'RLVC' -> RecProbModel
+        if name == "DVC":
+            module = DVC(dtype=dtype)
+            family = "dvc"
+        else:
+            module = RLVC(entropy_type="rpm", dtype=dtype)
+            family = "rlvc"
+    elif name == "RLVC2":
+        module = RLVC(entropy_type="rpm2", dtype=dtype)
+        family = "rlvc"
+    elif name == "DVC-pretrained":
+        module = DVC(dtype=dtype)
+        family = "dvc"
+    elif name.startswith("LSVC"):
+        graph = "chain" if "-L" in name else ("onehop" if "-O" in name else "tree")
+        module = LSVC(
+            channels=128,  # only the '-128' channel plumbing is coherent in
+            # the reference (mvDecoder in_channels mismatch otherwise)
+            use_attn="-A" in name,
+            use_syn_attn="-S" in name,
+            graph=graph,
+            detach_tree="-D" in name,
+            dtype=dtype,
+        )
+        family = "lsvc"
+    elif name.startswith("Base"):
+        module = Base(use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype)
+        family = "base"
+    elif name == "SSF-Official":
+        module = ScaleSpaceFlow(dtype=dtype)
+        family = "ssf"
+    elif name.startswith("ELFVC"):
+        module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage, dtype=dtype)
+        family = "elfvc"
+    elif name == "MCVC-Original":
+        module = ScaleSpaceFlow(dtype=dtype)
+        family = "ssf"
+        extras["num_views"] = num_views
+    elif name.startswith("MCVC"):
+        module = MCVC(
+            num_views=num_views,
+            imbalanced_correlation="-IA" in name,
+            use_attn=use_attn,
+            dtype=dtype,
+        )
+        family = "mcvc"
+        extras = {"num_views": num_views, "resilience": resilience,
+                  "olft": "OLFT" in name}
+    else:
+        raise ValueError(f"Cannot recognize codec: {name}")
+    return CodecSpec(
+        name=name,
+        family=family,
+        module=module,
+        loss_type=loss_type,
+        compression_level=compression_level,
+        extras=extras,
+    )

@@ -46,7 +46,9 @@ class GDN(nn.Module):
         # norm[o] = sum_i gamma[o, i] * x[i]^2 + beta[o]
         # (torch conv2d weight layout [out, in, 1, 1], GDN.py:81-84)
         x2 = (x * x).astype(jnp.float32)
-        norm = jnp.einsum("bhwi,oi->bhwo", x2, gamma.astype(jnp.float32))
+        norm = jnp.einsum(
+            "bhwi,oi->bhwo", x2, gamma.astype(jnp.float32), precision="highest"
+        )
         norm = jnp.sqrt(norm + beta.astype(jnp.float32)).astype(x.dtype)
 
         if self.inverse:

@@ -61,25 +61,28 @@ def grid_sample_bilinear(
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
 
-    flat = img.reshape(B, H * W, C)
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    # TPU layout note: gather with channel-minor operands forces a lane
+    # dimension of size C (3 for RGB), which XLA pads to 128 — a 42x HBM
+    # blow-up at 1080p. Keep the flattened PIXEL axis minor (lane) and C on
+    # sublanes instead: [B, C, H*W] -> gather N -> [B, C, Ho*Wo].
+    flat = img.transpose(0, 3, 1, 2).reshape(B, C, H * W)
 
     def gather(yi, xi):
-        idx = yi * W + xi  # [B, Ho, Wo]
-        out = jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1
-        )  # [B, Ho*Wo, C]
-        return out.reshape(idx.shape + (C,))
+        idx = (yi * W + xi).reshape(B, 1, Ho * Wo)
+        idx = jnp.broadcast_to(idx, (B, C, Ho * Wo))
+        return jnp.take_along_axis(flat, idx, axis=2)  # [B, C, Ho*Wo]
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
 
-    tx = tx[..., None].astype(img.dtype)
-    ty = ty[..., None].astype(img.dtype)
+    tx = tx.reshape(B, 1, Ho * Wo).astype(img.dtype)
+    ty = ty.reshape(B, 1, Ho * Wo).astype(img.dtype)
     top = v00 * (1 - tx) + v01 * tx
     bot = v10 * (1 - tx) + v11 * tx
-    out = top * (1 - ty) + bot * ty
+    out = (top * (1 - ty) + bot * ty).reshape(B, C, Ho, Wo).transpose(0, 2, 3, 1)
 
     if padding_mode == "zeros":
         inb = (
@@ -145,8 +148,9 @@ def bilinear_upsample_x2_ac(x: jax.Array) -> jax.Array:
     B, H, W, C = x.shape
     wy = jnp.asarray(_resize_matrix_ac(H, 2 * H), dtype=x.dtype)
     wx = jnp.asarray(_resize_matrix_ac(W, 2 * W), dtype=x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", wy, x)
-    return jnp.einsum("pw,bowc->bopc", wx, y)
+    # interpolation weights must not round to bf16 (each row is just two taps)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x, precision="highest")
+    return jnp.einsum("pw,bowc->bopc", wx, y, precision="highest")
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:

@@ -1,0 +1,105 @@
+"""RD training: loss composition per codec family + optax train step.
+
+Loss shapes mirror the reference's parallel_compression aggregation
+(models.py:233-410): per-P-frame `r * mse + bpp` summed over the GOP, plus
+family extras (ELFVC-SP pred_err norm with weight alpha, models.py:290-299;
+Base ER error norms; MCVC-OLFT drops the bpp term and trains on touch-up
+labels). The reference's AMP GradScaler is unnecessary on TPU — bf16
+activations with f32 params/grads need no loss scaling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fastvideocodec_tpu.gop.engine import rollout
+from fastvideocodec_tpu.models.registry import CodecSpec
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    aux_learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    alpha: float = 1.0       # ELFVC-SP pred_err weight
+    r_img: float = 1.0
+    r_bpp: float = 1.0
+    r_aux: float = 1.0
+
+
+def gop_loss(spec: CodecSpec, params, gop, training, rng, cfg: TrainConfig,
+             mask=None):
+    """Returns (scalar loss, metrics dict) for one GOP (or batch thereof)."""
+    r = spec.r
+    x_hat, m = rollout(spec, params, gop, training=training, rng=rng, mask=mask)
+    img = m["img_loss"] if "img_loss" in m else m["rec_loss"]
+    if spec.family == "lsvc":
+        loss = r * m["rec_loss"] + cfg.r_bpp * m["bpp"]
+    elif spec.family == "mcvc":
+        olft = spec.extras.get("olft", False)
+        loss = jnp.sum(r * m["img_loss"])
+        if not olft:
+            loss = loss + jnp.sum(m["bpp_est"])
+    else:
+        loss = jnp.sum(r * m["img_loss"] + m["bpp_est"])
+        if spec.family == "elfvc" and spec.module.super_prec:
+            loss = loss + cfg.alpha * jnp.sum(m["pred_err_norm"])
+    # auxiliary quantile loss (only quantiles receive its gradient)
+    aux = spec.module.apply(params, method="aux_loss")
+    loss = loss + cfg.r_aux * aux
+    metrics = {
+        "loss": loss,
+        "psnr": jnp.mean(m["psnr"]),
+        "bpp": jnp.mean(m["bpp_est"] if "bpp_est" in m else m["bpp"]),
+        "img_loss": jnp.mean(img),
+        "aux": aux,
+    }
+    return loss, metrics
+
+
+def make_train_step(spec: CodecSpec, cfg: TrainConfig, optimizer=None) -> tuple:
+    """Returns (init_fn(params) -> opt_state, step_fn).
+
+    step_fn(params, opt_state, gop, rng [, mask]) -> (params, opt_state,
+    metrics); jit it (or pjit over a mesh) at the call site.
+    """
+    if optimizer is None:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+            if cfg.weight_decay
+            else optax.adam(cfg.learning_rate),
+        )
+    else:
+        tx = optimizer
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def step_fn(params, opt_state, gop, rng, mask=None):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: gop_loss(spec, p, gop, True, rng, cfg, mask), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+def make_eval_step(spec: CodecSpec, cfg: TrainConfig | None = None):
+    cfg = cfg or TrainConfig()
+
+    def eval_fn(params, gop, mask=None):
+        _, metrics = gop_loss(spec, params, gop, False, None, cfg, mask)
+        return metrics
+
+    return eval_fn
