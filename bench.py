@@ -49,9 +49,10 @@ def main():
         return jnp.mean(com), metrics["bpp"], metrics["rec_loss"]
 
     fn = jax.jit(run)
-    # warmup / compile
+    # warmup / compile; host-materialize (block_until_ready can return
+    # before the remote compile+execute completes under the axon relay)
     out = fn(params, gop)
-    jax.block_until_ready(out)
+    _ = float(out[0])
 
     iters = 5
     # distinct inputs per iteration: the axon relay memoizes identical

@@ -102,6 +102,9 @@ def base_grid(B: int, H: int, W: int, dtype=jnp.float32) -> jax.Array:
     return jnp.broadcast_to(g[None], (B, H, W, 2))
 
 
+PALLAS_WARP_MAX_DISPLACEMENT = 56
+
+
 def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Bilinear backward warp (reference torch_warp, models.py:732-741).
 
@@ -109,7 +112,26 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     y-displacement). Flow is normalized by (size-1)/2 and added to a
     linspace(-1,1) base grid; sampled with border padding,
     align_corners=False — matching torch defaults used by the reference.
+
+    On TPU, shapes divisible by the (8, 128) tile dispatch to the Pallas
+    MXU kernel (ops/pallas/warp_kernel.py) — ~20x faster than the XLA
+    gather at 1080p; displacements clamp at PALLAS_WARP_MAX_DISPLACEMENT
+    pixels there (the XLA path is unbounded).
     """
+    B, H, W, _ = flow.shape
+    if (
+        jax.default_backend() == "tpu"
+        and H % 8 == 0
+        and W % 128 == 0
+    ):
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import pallas_flow_warp
+
+        return pallas_flow_warp(img, flow, PALLAS_WARP_MAX_DISPLACEMENT)
+    return _xla_flow_warp(img, flow)
+
+
+def _xla_flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Gather-based reference implementation (exact, unbounded flow)."""
     B, H, W, _ = flow.shape
     norm = jnp.array([2.0 / max(W - 1, 1), 2.0 / max(H - 1, 1)], dtype=flow.dtype)
     grid = base_grid(B, H, W, dtype=flow.dtype) + flow * norm
