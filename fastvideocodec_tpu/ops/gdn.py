@@ -45,6 +45,18 @@ class GDN(nn.Module):
 
         # norm[o] = sum_i gamma[o, i] * x[i]^2 + beta[o]
         # (torch conv2d weight layout [out, in, 1, 1], GDN.py:81-84)
+        # perf mode (bf16 activations): single-pass MXU; f32: exact
+        if self.dtype == jnp.bfloat16:
+            x2 = x * x
+            norm = jnp.einsum(
+                "bhwi,oi->bhwo", x2, gamma.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return (
+                x * jnp.sqrt(norm + beta).astype(x.dtype)
+                if self.inverse
+                else x / jnp.sqrt(norm + beta).astype(x.dtype)
+            )
         x2 = (x * x).astype(jnp.float32)
         norm = jnp.einsum(
             "bhwi,oi->bhwo", x2, gamma.astype(jnp.float32), precision="highest"

@@ -119,14 +119,14 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     pixels there (the XLA path is unbounded).
     """
     B, H, W, _ = flow.shape
-    if (
-        jax.default_backend() == "tpu"
-        and H % 8 == 0
-        and W % 128 == 0
-    ):
-        from fastvideocodec_tpu.ops.pallas.warp_kernel import pallas_flow_warp
+    if jax.default_backend() == "tpu":
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+            _supported,
+            pallas_flow_warp,
+        )
 
-        return pallas_flow_warp(img, flow, PALLAS_WARP_MAX_DISPLACEMENT)
+        if _supported(img.shape):
+            return pallas_flow_warp(img, flow, PALLAS_WARP_MAX_DISPLACEMENT)
     return _xla_flow_warp(img, flow)
 
 
@@ -155,31 +155,155 @@ def _resize_matrix_ac(in_size: int, out_size: int) -> np.ndarray:
     return w
 
 
+def _two_tap_indices(in_size: int, out_size: int, align_corners: bool):
+    """Static source indices + weights for 1D bilinear resize."""
+    o = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = o * ((in_size - 1) / max(out_size - 1, 1)) if out_size > 1 else o * 0
+    else:
+        src = np.clip((o + 0.5) * (in_size / out_size) - 0.5, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1)
+    t = (src - lo).astype(np.float32)
+    return lo, hi, t
+
+
+def _resize_axis_x2(x: jax.Array, axis: int, align_corners: bool) -> jax.Array:
+    """2-tap bilinear x2 along one spatial axis, TPU-friendly.
+
+    For x2 (either corner convention) even outputs interpolate (i-1, i) and
+    odd outputs (i, i+1), so the resize is two shifted lerps interleaved —
+    pure elementwise ops + a dim-merge reshape. (A dense [out, in]
+    interpolation matrix costs O(H) FLOPs per output pixel — terabytes at
+    1080p — and per-element gathers are ~10x slower than this on TPU.)"""
+    size = x.shape[axis]
+    lo, hi, t = _two_tap_indices(size, 2 * size, align_corners)
+    i = np.arange(size)
+    # the 2-shift structure this implementation relies on (static check)
+    assert ((lo[0::2] == i - 1) | (lo[0::2] == i)).all(), "even taps not (i-1, i)"
+    assert (lo[1::2] == i).all(), "odd taps not (i, i+1)"
+
+    x_prev = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, size - 1, axis=axis)], axis=axis
+    )
+    x_next = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, size, axis=axis),
+         jax.lax.slice_in_dim(x, size - 1, size, axis=axis)], axis=axis
+    )
+
+    shape = [1] * x.ndim
+    shape[axis] = size
+    dt = x.dtype
+
+    # even outputs: taps (lo=i-1, hi=i) with weight t_even on hi — except
+    # where lo==i (t==0 edge rows), handled by weights below
+    t_even = t[0::2].astype(np.float32)
+    lo_even_is_self = (lo[0::2] == i).astype(np.float32)
+    # value = (1-t)*x[lo] + t*x[hi]; when lo==i(-1 clamped) both taps == x
+    w_even_prev = ((1 - t_even) * (1 - lo_even_is_self)).reshape(shape)
+    w_even_self = (t_even + (1 - t_even) * lo_even_is_self).reshape(shape)
+    even = x_prev * jnp.asarray(w_even_prev, dt) + x * jnp.asarray(w_even_self, dt)
+
+    # odd outputs: taps (lo=i, hi=i+1 clamped)
+    t_odd = t[1::2].astype(np.float32)
+    w_odd_self = (1 - t_odd).reshape(shape)
+    w_odd_next = t_odd.reshape(shape)
+    odd = x * jnp.asarray(w_odd_self, dt) + x_next * jnp.asarray(w_odd_next, dt)
+
+    stacked = jnp.stack([even, odd], axis=axis + 1)  # [..., size, 2, ...]
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * size
+    return stacked.reshape(new_shape)
+
+
+def _bilinear_upsample_x2_interleave(x: jax.Array) -> jax.Array:
+    """Shift+interleave formulation (autodiff-friendly, used for the VJP)."""
+    return _resize_axis_x2(_resize_axis_x2(x, 1, False), 2, False)
+
+
+@jax.custom_vjp
 def bilinear_upsample_x2(x: jax.Array) -> jax.Array:
     """x2 bilinear, align_corners=False (reference bilinearupsacling).
 
-    torch `interpolate(mode='bilinear')` uses half-pixel centers, same as
-    jax.image.resize 'linear'.
+    torch `interpolate(mode='bilinear')` uses half-pixel centers; for x2
+    that's a PERIODIC 2-tap pattern = one depthwise transposed conv with
+    the fixed separable kernel [1/4, 3/4, 3/4, 1/4] (TPU-native), edges
+    fixed up with clamped boundary rows/cols. The grouped input-dilated
+    conv has no reverse-mode rule, so the (linear) VJP routes through the
+    interleave formulation.
     """
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    kern = (k1[:, None] * k1[None, :]).reshape(4, 4, 1, 1)
+    kern = jnp.broadcast_to(kern, (4, 4, 1, C)).astype(x.dtype)
+    # transposed conv as input-dilated correlation (the kernel is
+    # symmetric, so correlation == convolution)
+    y = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
+    )
+    # interior matches torch exactly; the first/last output row/col use
+    # clamped (border-replicated) taps in torch — fix them up.
+    top = x[:, :1]
+    bot = x[:, -1:]
+    y = y.at[:, 0].set(_resize_axis_x2(top, 2, False)[:, 0] )
+    y = y.at[:, -1].set(_resize_axis_x2(bot, 2, False)[:, 0])
+    left = _resize_axis_x2(x[:, :, :1], 1, False)[:, :, 0]
+    right = _resize_axis_x2(x[:, :, -1:], 1, False)[:, :, 0]
+    y = y.at[:, :, 0].set(left)
+    y = y.at[:, :, -1].set(right)
+    return y
+
+
+def _up2_fwd(x):
+    return bilinear_upsample_x2(x), None
+
+
+def _up2_bwd(_, g):
+    # linear op: vjp is input-independent; evaluate it on the
+    # interleave-based implementation which supports autodiff. The input
+    # shape is just the cotangent's spatial dims halved.
+    shape = (g.shape[0], g.shape[1] // 2, g.shape[2] // 2, g.shape[3])
+    _, vjp = jax.vjp(_bilinear_upsample_x2_interleave, jnp.zeros(shape, g.dtype))
+    return vjp(g)
+
+
+bilinear_upsample_x2.defvjp(_up2_fwd, _up2_bwd)
 
 
 def bilinear_upsample_x2_ac(x: jax.Array) -> jax.Array:
     """x2 bilinear, align_corners=True (reference bilinearupsacling2)."""
-    B, H, W, C = x.shape
-    wy = jnp.asarray(_resize_matrix_ac(H, 2 * H), dtype=x.dtype)
-    wx = jnp.asarray(_resize_matrix_ac(W, 2 * W), dtype=x.dtype)
-    # interpolation weights must not round to bf16 (each row is just two taps)
-    y = jnp.einsum("oh,bhwc->bowc", wy, x, precision="highest")
-    return jnp.einsum("pw,bowc->bopc", wx, y, precision="highest")
+    return _resize_axis_x2(_resize_axis_x2(x, 1, True), 2, True)
 
 
+@jax.custom_vjp
 def avg_pool2(x: jax.Array) -> jax.Array:
-    """2x2 average pool, stride 2 (torch F.avg_pool2d defaults)."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    return x.mean(axis=(2, 4))
+    """2x2 average pool, stride 2 (torch F.avg_pool2d defaults).
+
+    reduce_window is TPU-native (a reshape-mean forces a full relayout);
+    the generic reduce_window primitive has no reverse-mode rule, so the
+    VJP spreads each cotangent over its 2x2 window explicitly."""
+    s = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+    return s * jnp.asarray(0.25, x.dtype)
+
+
+def _avg_pool2_fwd(x):
+    return avg_pool2(x), None
+
+
+def _avg_pool2_bwd(_, g):
+    g = g * jnp.asarray(0.25, g.dtype)
+    g = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)
+    return (g,)
+
+
+avg_pool2.defvjp(_avg_pool2_fwd, _avg_pool2_bwd)
 
 
 # ---------------------------------------------------------------------------
