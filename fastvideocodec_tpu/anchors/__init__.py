@@ -90,6 +90,32 @@ def compress_whole_video(name: str, frames: np.ndarray, q: int, gop: int = 16):
     return psnrs, bpp, enc_t, dec_t
 
 
+def multiview_frame_layout(clip: np.ndarray, frame_comb: int, gop: int = 16):
+    """Arrange a multi-view clip [G, V, H, W, 3] for x26x anchor coding
+    (reference frame_comb layouts, models.py:123-151):
+
+    0: view-major order (all frames of view 0, then view 1, ...)
+    1: views stitched horizontally into one wide frame per time step
+    2: frame-major order (all views of frame 0, then frame 1, ...)
+    3: view-major order with keyint scaled by V
+
+    Returns (frames [N, H, W', 3], effective_gop)."""
+    g, v, h, w, _ = clip.shape
+    if frame_comb == 0:
+        frames = clip.transpose(1, 0, 2, 3, 4).reshape(g * v, h, w, 3)
+        return frames, gop
+    if frame_comb == 1:
+        frames = clip.transpose(0, 2, 1, 3, 4).reshape(g, h, v * w, 3)
+        return frames, gop
+    if frame_comb == 2:
+        frames = clip.reshape(g * v, h, w, 3)
+        return frames, gop
+    if frame_comb == 3:
+        frames = clip.transpose(1, 0, 2, 3, 4).reshape(g * v, h, w, 3)
+        return frames, gop * v
+    raise ValueError(f"Undefined frame comb: {frame_comb}")
+
+
 def bpg_compress_iframe(frame: np.ndarray, i_level: int):
     """BPG I-frame coding (reference I_compression, models.py:412-429).
 

@@ -34,11 +34,33 @@ class TrainConfig:
     r_aux: float = 1.0
 
 
+def _msssim_distortion(spec, x_hat, gop):
+    """1 - ms_ssim over the GOP (loss_type 'M', reference msssim_list
+    lambdas models.py:73)."""
+    from fastvideocodec_tpu.ops import ms_ssim
+
+    target = gop if spec.family == "mcvc" else gop[1:]
+    xh = x_hat.reshape((-1,) + x_hat.shape[-3:])
+    tg = target.reshape((-1,) + target.shape[-3:])
+    return 1.0 - ms_ssim(xh, tg)
+
+
 def gop_loss(spec: CodecSpec, params, gop, training, rng, cfg: TrainConfig,
              mask=None):
-    """Returns (scalar loss, metrics dict) for one GOP (or batch thereof)."""
+    """Returns (scalar loss, metrics dict) for one GOP (or batch thereof).
+
+    loss_type 'P' uses per-frame MSE (the rollout's img_loss); 'M' swaps the
+    distortion for 1 - MS-SSIM with the msssim lambda table."""
     r = spec.r
     x_hat, m = rollout(spec, params, gop, training=training, rng=rng, mask=mask)
+    if spec.loss_type == "M":
+        d = _msssim_distortion(spec, x_hat, gop)
+        m = dict(m)
+        m["img_loss"] = jnp.broadcast_to(d, m["psnr"].shape) if hasattr(
+            m["psnr"], "shape"
+        ) and m["psnr"].ndim > 0 else d
+        if "rec_loss" in m:
+            m["rec_loss"] = d
     img = m["img_loss"] if "img_loss" in m else m["rec_loss"]
     if spec.family == "lsvc":
         loss = r * m["rec_loss"] + cfg.r_bpp * m["bpp"]

@@ -1,0 +1,168 @@
+"""Auxiliary subsystems: evolve masking, ContextVP, ABR/BD-rate analysis,
+log format roundtrip, anchor frame layouts, OLFT touch-ups, checkpoint
+partial loaders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestEvolve:
+    def test_encoder_mask_freezes_decoder(self):
+        from functools import partial
+
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.train.evolve import encoder_mask, evolve_on_video
+
+        spec = get_codec_model("DVC")
+        gop = jax.random.uniform(KEY, (3, 64, 64, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[1][None], gop[0][None]
+        )
+        mask = encoder_mask(params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        enc = [m for p, m in flat if m]
+        dec = [m for p, m in flat if not m]
+        assert enc and dec  # both sides present
+
+        evolved, score = evolve_on_video(spec, params, [gop], steps=2)
+        # decoder leaves untouched, at least one encoder leaf moved
+        moved = 0
+        for (path, m), old, new in zip(
+            flat,
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(evolved),
+        ):
+            diff = float(jnp.abs(old - new).sum())
+            if not m:
+                assert diff == 0.0, path
+            elif diff > 0:
+                moved += 1
+        assert moved > 0
+        assert np.isfinite(score)
+
+
+class TestContextVP:
+    def test_shapes_and_causality(self):
+        from fastvideocodec_tpu.layers import ContextVP
+
+        m = ContextVP(out_channels=8, num_views=2, width=4, height=4)
+        x = jax.random.normal(KEY, (2 * 2, 4, 4, 8))  # B=2, V=2
+        params = m.init(KEY, x)
+        y = m.apply(params, x)
+        assert y.shape == (4, 4, 4, 8)
+        # causality: output token 0 (view0, pixel0) must not depend on input
+        x2 = x.at[:, 3, 3, :].add(100.0)  # perturb last token
+        y2 = m.apply(params, x2)
+        first = np.asarray(y.reshape(2, 32, 8))[:, 0]
+        first2 = np.asarray(y2.reshape(2, 32, 8))[:, 0]
+        np.testing.assert_allclose(first, first2, atol=1e-5)
+
+
+class TestAnalysis:
+    def test_bd_rate_sign(self):
+        from fastvideocodec_tpu.analysis import bd_psnr, bd_rate
+
+        rate_a = [0.1, 0.2, 0.4, 0.8]
+        psnr_a = [32.0, 34.0, 36.0, 38.0]
+        # test curve: same psnr at 10% fewer bits
+        rate_t = [r * 0.9 for r in rate_a]
+        bd = bd_rate(rate_a, psnr_a, rate_t, psnr_a)
+        assert -12 < bd < -8  # ~-10%
+        assert bd_psnr(rate_a, psnr_a, rate_t, psnr_a) > 0
+
+    def test_bola_runs_and_prefers_quality_with_bandwidth(self):
+        from fastvideocodec_tpu.analysis import AbrConfig, bola_simulate
+
+        cfg = AbrConfig()
+        levels, segs = 3, 40
+        rng = np.random.RandomState(0)
+        psnr = np.stack([np.full(segs, 32.0), np.full(segs, 36.0), np.full(segs, 40.0)])
+        rate = np.stack([np.full(segs, 1e6), np.full(segs, 4e6), np.full(segs, 12e6)])
+        dect = np.full((levels, segs), 0.16)
+        rich = np.full(400, 50e6)
+        poor = np.full(400, 2e6)
+        qoe_r, q_r, rb_r, *_ = bola_simulate(psnr, rate, dect, rich, np.zeros(400), cfg)
+        qoe_p, q_p, rb_p, *_ = bola_simulate(psnr, rate, dect, poor, np.zeros(400), cfg)
+        assert q_r > q_p  # richer link -> higher quality
+        assert rb_p >= rb_r - 1e-9
+
+
+class TestLogsRoundtrip:
+    def test_two_line_format(self, tmp_path):
+        from fastvideocodec_tpu.utils.logs import read_eval_log, write_eval_log
+
+        p = str(tmp_path / "X.UVG.0.log")
+        write_eval_log(p, 3, 0.123, 0.01, 0.02, [30.0, 31.5], aux=(0.5,))
+        write_eval_log(p, 4, 0.2, 0.01, 0.02, [33.0])
+        recs = read_eval_log(p)
+        assert len(recs) == 2
+        assert recs[0][0]["level"] == 3 and abs(recs[0][0]["bpp"] - 0.123) < 1e-9
+        assert recs[0][1] == [30.0, 31.5]
+        assert recs[0][0]["aux"] == [0.5]
+
+
+class TestAnchors:
+    def test_frame_layouts(self):
+        from fastvideocodec_tpu.anchors import multiview_frame_layout
+
+        clip = np.arange(2 * 3 * 4 * 4 * 3, dtype=np.float32).reshape(2, 3, 4, 4, 3)
+        f0, g0 = multiview_frame_layout(clip, 0)
+        assert f0.shape == (6, 4, 4, 3) and g0 == 16
+        np.testing.assert_array_equal(f0[0], clip[0, 0])
+        np.testing.assert_array_equal(f0[1], clip[1, 0])  # view-major
+        f1, _ = multiview_frame_layout(clip, 1)
+        assert f1.shape == (2, 4, 12, 3)  # horizontal stitch
+        f2, _ = multiview_frame_layout(clip, 2)
+        np.testing.assert_array_equal(f2[1], clip[0, 1])  # frame-major
+        f3, g3 = multiview_frame_layout(clip, 3)
+        assert g3 == 48
+
+
+class TestOlft:
+    def test_touchup_selects_worst_pixels(self):
+        from fastvideocodec_tpu.train.olft import touchup_bits, touchup_labels
+
+        raw = jnp.zeros((1, 8, 8, 3))
+        recon = jnp.zeros((1, 8, 8, 3)).at[0, 0, 0].set(1.0).at[0, 4, 4].set(0.5)
+        label, mask = touchup_labels(recon, raw, ratio=6 / 192)
+        # the 6 worst pixels (2 spatial x 3ch) replaced by raw
+        assert float(jnp.abs(label - raw).sum()) < float(jnp.abs(recon - raw).sum())
+        bits = touchup_bits(np.asarray(recon), np.asarray(label), np.asarray(mask))
+        assert bits > 0
+
+
+class TestCheckpointLoaders:
+    def test_load_whatever_and_with_copy(self):
+        from fastvideocodec_tpu.train import load_whatever, load_with_copy
+
+        params = {
+            "enc": {"w": np.zeros((2, 2))},
+            "backup_dec": {"w": np.zeros((3,))},
+            "dec": {"w": np.zeros((3,))},
+        }
+        src = {"enc": {"w": np.ones((2, 2))}, "dec": {"w": np.full((3,), 2.0)}}
+        out = load_whatever(params, src)
+        np.testing.assert_array_equal(out["enc"]["w"], 1.0)
+        np.testing.assert_array_equal(out["backup_dec"]["w"], 0.0)
+        out2 = load_with_copy(params, src)
+        np.testing.assert_array_equal(out2["backup_dec"]["w"], 2.0)  # seeded
+
+
+class TestMsssimLoss:
+    def test_loss_type_m(self):
+        from functools import partial
+
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.train import TrainConfig, gop_loss
+
+        spec = get_codec_model("DVC", loss_type="M", compression_level=1)
+        assert spec.r == 16  # msssim lambda table
+        gop = jax.random.uniform(KEY, (3, 192, 192, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[1][None], gop[0][None]
+        )
+        loss, metrics = gop_loss(spec, params, gop, False, None, TrainConfig())
+        assert np.isfinite(float(loss))
