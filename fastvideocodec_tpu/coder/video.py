@@ -134,3 +134,300 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
         for i, f in enumerate(layer):
             com[f - 1] = com_frames[i]
     return jnp.stack(com)
+
+
+# ---------------------------------------------------------------------------
+# SSF-family real bitstreams (SSF / ELFVC / MCVC share the hyperprior shape)
+# ---------------------------------------------------------------------------
+
+
+class HyperpriorCoder:
+    """Real coding for one SSFHyperprior (reference Hyperprior,
+    models.py:1958-1999): z via the factorized bottleneck tables, y via the
+    scale-table Gaussian coder with decoded (scales, means)."""
+
+    def __init__(self, spec, params, name: str):
+        from fastvideocodec_tpu.coder.service import FactorizedCodec, GaussianCodec
+
+        self.spec = spec
+        self.params = params
+        self.name = name
+        p = params["params"][name]["bottleneck"]
+        self.z_codec = FactorizedCodec({k: np.asarray(v) for k, v in p.items()})
+        self.y_codec = GaussianCodec()
+
+    def _sub(self, fn, *args):
+        m = self.spec.module
+
+        def call(mod, *a):
+            return fn(getattr(mod, self.name), *a)
+
+        return m.apply(self.params, *args, method=call)
+
+    def compress(self, y):
+        z = self._sub(lambda hp, yy: hp.hyper_encoder(yy), y)
+        z_stream = self.z_codec.compress(np.asarray(z))
+        z_hat = jnp.asarray(self.z_codec.decompress(z_stream, z.shape))
+        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
+        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
+        scales = scales[:, : y.shape[1], : y.shape[2], :]
+        means = means[:, : y.shape[1], : y.shape[2], :]
+        y_stream = self.y_codec.compress(
+            np.asarray(y), np.asarray(scales), np.asarray(means)
+        )
+        y_hat = jnp.round(y - means) + means
+        return {"z": z_stream, "y": y_stream, "z_shape": tuple(z.shape)}, y_hat
+
+    def decompress(self, streams, y_shape):
+        z_hat = jnp.asarray(self.z_codec.decompress(streams["z"], streams["z_shape"]))
+        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
+        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
+        scales = scales[:, : y_shape[1], : y_shape[2], :]
+        means = means[:, : y_shape[1], : y_shape[2], :]
+        y_hat = jnp.asarray(
+            self.y_codec.decompress(streams["y"], np.asarray(scales), np.asarray(means))
+        ).reshape(y_shape)
+        return y_hat
+
+
+def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
+    """ScaleSpaceFlow real-bitstream encode: keyframe + inter chain
+    (reference compress path of SSF models). gop: [T, B, H, W, 3].
+
+    Returns (streams, recon [T, B, H, W, 3], total_bits)."""
+    m = spec.module
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+
+    y0 = m.apply(params, gop[0], method=lambda mod, x: mod.img_encoder(x))
+    key_streams, y0_hat = img_hp.compress(y0)
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+
+    frames = [x_ref]
+    inter_streams = []
+    for t in range(1, gop.shape[0]):
+        x_cur = gop[t]
+        y_mot = m.apply(
+            params, jnp.concatenate([x_cur, x_ref], axis=-1),
+            method=lambda mod, x: mod.motion_encoder(x),
+        )
+        mot_s, y_mot_hat = mot_hp.compress(y_mot)
+        x_pred = m.apply(
+            params, x_ref, y_mot_hat,
+            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
+        )
+        y_res = m.apply(
+            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
+        )
+        res_s, y_res_hat = res_hp.compress(y_res)
+        x_ref = x_pred + m.apply(
+            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        frames.append(x_ref)
+        inter_streams.append(
+            {"motion": mot_s, "residual": res_s,
+             "y_mot_shape": tuple(y_mot.shape), "y_res_shape": tuple(y_res.shape)}
+        )
+    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+               "inter": inter_streams}
+    bits = 8 * (
+        len(key_streams["z"]) + len(key_streams["y"])
+        + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
+              + len(s["residual"]["z"]) + len(s["residual"]["y"])
+              for s in inter_streams)
+    )
+    return streams, jnp.stack(frames), bits
+
+
+def ssf_decompress_gop(spec: CodecSpec, params, streams: dict):
+    """Reconstructs the whole GOP from bitstreams only."""
+    m = spec.module
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+
+    y0_hat = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    frames = [x_ref]
+    for s in streams["inter"]:
+        y_mot_hat = mot_hp.decompress(s["motion"], s["y_mot_shape"])
+        x_pred = m.apply(
+            params, x_ref, y_mot_hat,
+            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
+        )
+        y_res_hat = res_hp.decompress(s["residual"], s["y_res_shape"])
+        x_ref = x_pred + m.apply(
+            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        frames.append(x_ref)
+    return jnp.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# RLVC real bitstreams (recurrent: factorized first P-frame, RPM after)
+# ---------------------------------------------------------------------------
+
+
+def _rlvc_codec_real(spec, params, codec_name, dec4_name, x, rae_hidden,
+                     rpm_hidden, rpm_flag, prior_latent, fcodec, gcodec):
+    """One Coder2D pass with real entropy coding (reference
+    compress_slow/decompress_slow fused, entropy_models.py:97-148)."""
+    m = spec.module
+
+    def enc(mod, xx, se):
+        return getattr(mod, codec_name).encode(xx, se)
+
+    def dec(mod, lh, sd):
+        c = getattr(mod, codec_name)
+        return c.decode(lh, sd, None, getattr(mod, dec4_name))
+
+    def rpm_net(mod, pl, rh):
+        return getattr(mod, codec_name).entropy.rpm(pl, rh)
+
+    state_enc, state_dec = jnp.split(rae_hidden, 2, axis=-1)
+    latent, state_enc = m.apply(params, x, state_enc, method=enc)
+    if rpm_flag:
+        sigma_raw, mu, rpm_hidden = m.apply(params, prior_latent, rpm_hidden, method=rpm_net)
+        sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0)) / 10.0
+        stream = gcodec.compress(np.asarray(latent), np.asarray(sigma), np.asarray(mu))
+        latent_hat = jnp.round(latent - mu) + mu
+    else:
+        stream = fcodec.compress(np.asarray(latent))
+        latent_hat = jnp.asarray(fcodec.decompress(stream, latent.shape))
+    # prior from the DECODED latent so encoder and decoder states agree
+    # (reference compress_slow, entropy_models.py:122)
+    prior_latent = jnp.round(latent_hat)
+    hat, state_dec = m.apply(params, latent_hat, state_dec, method=dec)
+    rae_hidden = jnp.concatenate([state_enc, state_dec], axis=-1)
+    return hat, rae_hidden, rpm_hidden, prior_latent, stream, latent_hat.shape
+
+
+def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
+    """RLVC real-bitstream encode over a GOP [T, H, W, 3] (frame 0 I-coded).
+
+    Returns (streams, recon [T-1, H, W, 3], bits). The decoder reproduces
+    hidden/prior states from decoded latents only, mirroring the
+    reference's compress_slow/decompress_slow state discipline."""
+    from fastvideocodec_tpu.coder.service import FactorizedCodec, GaussianCodec
+
+    m = spec.module
+    p = params["params"]
+    fmv = FactorizedCodec(
+        {k: np.asarray(v) for k, v in p["mv_codec"]["entropy"]["bottleneck"].items()}
+    )
+    fres = FactorizedCodec(
+        {k: np.asarray(v) for k, v in p["res_codec"]["entropy"]["bottleneck"].items()}
+    )
+    gc = GaussianCodec()
+
+    T, H, W, _ = gop.shape
+    hidden = m.init_hidden(1, H, W)
+    rae_mv, rae_res = hidden.rae_mv, hidden.rae_res
+    rpm_mv, rpm_res = hidden.rpm_mv, hidden.rpm_res
+    mv_prior, res_prior = hidden.mv_prior, hidden.res_prior
+
+    x_ref = gop[0][None]
+    recon, streams = [], []
+    from fastvideocodec_tpu.ops import flow_warp
+
+    latent_shapes = {}
+    for t in range(1, T):
+        x_cur = gop[t][None]
+        flag = t > 1
+        mv = m.apply(params, x_cur, x_ref, method=lambda mod, a, b: mod.optic_flow(a, b))
+        mv_hat, rae_mv, rpm_mv, mv_prior, mv_stream, mv_shape = _rlvc_codec_real(
+            spec, params, "mv_codec", "mv_dec4", mv, rae_mv, rpm_mv, flag,
+            mv_prior, fmv, gc,
+        )
+        x_warp = flow_warp(x_ref, mv_hat)
+        x_mc = m.apply(
+            params, jnp.concatenate([x_warp, x_ref], axis=-1),
+            method=lambda mod, x: mod.warpnet(x),
+        ) + x_warp
+        res = x_cur - x_mc
+        res_hat, rae_res, rpm_res, res_prior, res_stream, res_shape = _rlvc_codec_real(
+            spec, params, "res_codec", "res_dec4", res, rae_res, rpm_res, flag,
+            res_prior, fres, gc,
+        )
+        x_ref = jnp.clip(res_hat + x_mc, 0.0, 1.0)
+        recon.append(x_ref[0])
+        streams.append({"mv": mv_stream, "res": res_stream})
+        latent_shapes = {"mv": tuple(mv_shape), "res": tuple(res_shape)}
+    bits = 8 * sum(len(s["mv"]) + len(s["res"]) for s in streams)
+    return streams, jnp.stack(recon), bits, latent_shapes
+
+
+def _rlvc_codec_real_decode(spec, params, codec_name, dec4_name, rae_dec_state,
+                            rpm_hidden, rpm_flag, prior_latent, latent_shape,
+                            stream, fcodec, gcodec):
+    m = spec.module
+
+    def dec(mod, lh, sd):
+        c = getattr(mod, codec_name)
+        return c.decode(lh, sd, None, getattr(mod, dec4_name))
+
+    def rpm_net(mod, pl, rh):
+        return getattr(mod, codec_name).entropy.rpm(pl, rh)
+
+    if rpm_flag:
+        sigma_raw, mu, rpm_hidden = m.apply(
+            params, prior_latent, rpm_hidden, method=rpm_net
+        )
+        sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0)) / 10.0
+        latent_hat = jnp.asarray(
+            gcodec.decompress(stream, np.asarray(sigma), np.asarray(mu))
+        ).reshape(latent_shape)
+    else:
+        latent_hat = jnp.asarray(fcodec.decompress(stream, latent_shape))
+    prior_latent = jnp.round(latent_hat)
+    hat, rae_dec_state = m.apply(params, latent_hat, rae_dec_state, method=dec)
+    return hat, rae_dec_state, rpm_hidden, prior_latent
+
+
+def rlvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams,
+                        latent_shapes):
+    """RLVC real-bitstream decode from (I-frame, bitstreams): rebuilds
+    recurrent decoder/RPM state from decoded latents only."""
+    from fastvideocodec_tpu.coder.service import FactorizedCodec, GaussianCodec
+    from fastvideocodec_tpu.ops import flow_warp
+
+    m = spec.module
+    p = params["params"]
+    fmv = FactorizedCodec(
+        {k: np.asarray(v) for k, v in p["mv_codec"]["entropy"]["bottleneck"].items()}
+    )
+    fres = FactorizedCodec(
+        {k: np.asarray(v) for k, v in p["res_codec"]["entropy"]["bottleneck"].items()}
+    )
+    gc = GaussianCodec()
+
+    H, W = iframe.shape[0], iframe.shape[1]
+    hidden = m.init_hidden(1, H, W)
+    rae_mv_dec = jnp.split(hidden.rae_mv, 2, axis=-1)[1]
+    rae_res_dec = jnp.split(hidden.rae_res, 2, axis=-1)[1]
+    rpm_mv, rpm_res = hidden.rpm_mv, hidden.rpm_res
+    mv_prior, res_prior = hidden.mv_prior, hidden.res_prior
+
+    x_ref = iframe[None]
+    recon = []
+    for t, s in enumerate(streams, start=1):
+        flag = t > 1
+        mv_hat, rae_mv_dec, rpm_mv, mv_prior = _rlvc_codec_real_decode(
+            spec, params, "mv_codec", "mv_dec4", rae_mv_dec, rpm_mv, flag,
+            mv_prior, latent_shapes["mv"], s["mv"], fmv, gc,
+        )
+        x_warp = flow_warp(x_ref, mv_hat)
+        x_mc = m.apply(
+            params, jnp.concatenate([x_warp, x_ref], axis=-1),
+            method=lambda mod, x: mod.warpnet(x),
+        ) + x_warp
+        res_hat, rae_res_dec, rpm_res, res_prior = _rlvc_codec_real_decode(
+            spec, params, "res_codec", "res_dec4", rae_res_dec, rpm_res, flag,
+            res_prior, latent_shapes["res"], s["res"], fres, gc,
+        )
+        x_ref = jnp.clip(res_hat + x_mc, 0.0, 1.0)
+        recon.append(x_ref[0])
+    return jnp.stack(recon)

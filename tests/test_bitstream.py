@@ -96,3 +96,40 @@ class TestLsvcRealBitstream:
         _, _, _, metrics = spec.module.apply(params, gop, training=False)
         bits_est = float(metrics["bpp"]) * (T - 1) * H * W
         assert bits < 4 * bits_est
+
+
+class TestSsfRealBitstream:
+    def test_encode_decode_identity(self):
+        from fastvideocodec_tpu.coder.video import ssf_compress_gop, ssf_decompress_gop
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model("SSF-Official")
+        gop = jax.random.uniform(KEY, (3, 1, 128, 128, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[:2]
+        )
+        streams, recon, bits = ssf_compress_gop(spec, params, gop)
+        dec = ssf_decompress_gop(spec, params, streams)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
+        assert bits > 0
+
+
+class TestRlvcRealBitstream:
+    def test_encode_decode_identity(self):
+        from fastvideocodec_tpu.coder.video import (
+            rlvc_compress_gop,
+            rlvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model("RLVC")
+        T, H, W = 4, 64, 64
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        hidden = spec.module.init_hidden(1, H, W)
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[0][None], gop[1][None], hidden, False
+        )
+        streams, recon, bits, shapes = rlvc_compress_gop(spec, params, gop)
+        dec = rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
+        assert bits > 0
