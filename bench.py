@@ -97,7 +97,17 @@ def main():
     def decode(p, iframe, mv_q, z_qs, feat_qs):
         mv_hat = module.apply(p, mv_q, method=lambda m, q: m.mv_decoder(q))
         com = [None] * bs
+        sigma_sum = jnp.zeros((), jnp.float32)
         for li, layer in enumerate(sched.layers):
+            # hyper synthesis: a real decoder must run it once per layer to
+            # entropy-decode the residual features; folding mean(sigma) into
+            # the output keeps it live in the timed graph (it has no other
+            # device-side consumer — sigma parameterizes the HOST entropy
+            # decode)
+            sigma = module.apply(
+                p, z_qs[li], method=lambda m, z: m.prior_decoder(z)
+            )
+            sigma_sum = sigma_sum + jnp.mean(sigma).astype(jnp.float32)
             chunk = module.layer_chunk if module.layer_chunk > 0 else len(layer)
             for ci in range(0, len(layer), chunk):
                 part = layer[ci : ci + chunk]
@@ -111,9 +121,6 @@ def main():
                     p, ref, mv_hat[ids],
                     method=lambda m, r, d: m.motioncompensation(r, d),
                 )
-                sigma = module.apply(
-                    p, z_qs[li], method=lambda m, z: m.prior_decoder(z)
-                )
                 res_hat = module.apply(
                     p, feat_qs[li][ci : ci + chunk],
                     method=lambda m, f: m.res_decoder(f),
@@ -121,7 +128,9 @@ def main():
                 com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
                 for i, f in enumerate(part):
                     com[f - 1] = com_frames[i]
-        return jnp.mean(jnp.stack(com))
+        # return sigma_sum separately and materialize BOTH scalars on host —
+        # 0.0*x folding aside, two live outputs make DCE impossible
+        return jnp.mean(jnp.stack(com)), sigma_sum
 
     lh, lw = H // 16, W // 16
     mv_q = jax.random.normal(key, (bs, lh, lw, 128), jnp.bfloat16)
@@ -134,12 +143,14 @@ def main():
         for l in sched.layers
     ]
     dfn = jax.jit(decode)
-    _ = float(dfn(params, gop[0], mv_q, z_qs, feat_qs))
+    out = dfn(params, gop[0], mv_q, z_qs, feat_qs)
+    _ = (float(out[0]), float(out[1]))
     dts = []
     for i in range(iters):
         mv_i = jax.block_until_ready(mv_q * (0.8 + 0.04 * i))
         t0 = time.perf_counter()
-        v = float(dfn(params, gop[0], mv_i, z_qs, feat_qs))
+        out = dfn(params, gop[0], mv_i, z_qs, feat_qs)
+        _ = (float(out[0]), float(out[1]))
         dts.append(time.perf_counter() - t0)
     dec_fps = (GOP - 1) * iters / sum(dts)
     print(f"decode-only iters(s): {[round(t, 3) for t in dts]}", file=sys.stderr)

@@ -28,6 +28,7 @@ from fastvideocodec_tpu.train import (
     make_train_step,
     save_checkpoint,
 )
+from fastvideocodec_tpu.train.trainer import make_optimizer
 from fastvideocodec_tpu.utils import AverageMeter
 
 
@@ -50,7 +51,56 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--evaluate", action="store_true",
+        help="skip training; sweep 8 compression levels over --test-dataset-dir "
+        "(reference train.py:431-436)",
+    )
+    p.add_argument(
+        "--evolve", action="store_true",
+        help="per-video encoder overfitting before each eval video "
+        "(reference train.py:315-401); implies --evaluate",
+    )
+    p.add_argument("--test-dataset-dir", default=None)
+    p.add_argument("--test-size", default="1024x2048")
+    p.add_argument("--max-files", type=int, default=0)
     return p.parse_args(argv)
+
+
+def run_evaluate_sweep(args, spec, params, dtype):
+    """--evaluate: sweep 8 levels over the test dataset, logging each
+    (reference train.py:431-436; only multi-level codecs sweep past level 0)."""
+    from fastvideocodec_tpu.data import VideoDataset
+    from fastvideocodec_tpu.train.evaluate import evaluate_video
+    from fastvideocodec_tpu.train.evolve import evolve_on_video
+
+    h, w = (int(v) for v in args.test_size.split("x"))
+    test_ds = VideoDataset(args.test_dataset_dir, (h, w), args.max_files or 0)
+    ds_name = args.test_dataset_dir.rstrip("/").split("/")[-1]
+    log_path = f"{args.codec}.{ds_name}.{args.evolve}.log"
+    # only multi-level codecs sweep all 8 levels (train.py:431-436 breaks
+    # after level 0 unless the codec is level-conditioned)
+    levels = range(8) if "-L" in args.codec else range(1)
+    for level in levels:
+        p = params
+        if args.evolve:
+            # per-video encoder overfitting (train.py:315-401): fine-tune
+            # encoder-side params on this dataset's leading GOPs
+            gops, buf = [], []
+            for i in range(len(test_ds)):
+                frame, eof = test_ds[i]
+                buf.append(frame)
+                if len(buf) == 16 or eof:
+                    if len(buf) >= 2:
+                        gops.append(np.stack(buf))
+                    buf = []
+                if len(gops) >= 4 or eof:
+                    break
+            test_ds.reset()
+            p, _ = evolve_on_video(spec, p, gops)
+        stats = evaluate_video(spec, p, test_ds, log_path=log_path, level=level)
+        print(f"level {level}: {stats}")
+        test_ds.reset()
 
 
 def init_params(spec, sample_gop, key):
@@ -84,11 +134,27 @@ def main(argv=None):
     sample = jnp.asarray(train_ds[0])
     params = init_params(spec, sample, key)
 
+    if args.evolve:
+        args.evaluate = True
+    if args.evaluate:
+        if not args.test_dataset_dir:
+            raise SystemExit("--evaluate requires --test-dataset-dir")
+        run_evaluate_sweep(args, spec, params, dtype)
+        return
+
     ckpt_dir = f"{args.ckpt_dir}/{args.codec}-{args.compression_level}{args.loss_type}"
     cfg = TrainConfig(
         learning_rate=args.lr, grad_clip=args.grad_clip, alpha=args.alpha
     )
-    init_fn, step_fn = make_train_step(spec, cfg)
+    steps = args.steps_per_epoch or max(1, len(train_ds) // args.batch_size)
+    # per-epoch LR decay (reference train.py:403-409) applied through an
+    # optax staircase schedule — the optimizer actually sees the decayed lr
+    schedule = optax.exponential_decay(
+        args.lr, transition_steps=steps, decay_rate=args.lr_decay, staircase=True
+    )
+    tx = make_optimizer(cfg, learning_rate=schedule)
+    init_fn, step_fn = make_train_step(spec, cfg, optimizer=tx,
+                                       batched=args.batch_size > 1)
     opt_state = init_fn(params)
     start_epoch, best_score = 0, float("inf")
     if args.resume:
@@ -105,22 +171,26 @@ def main(argv=None):
             print("no checkpoint; training from scratch")
 
     jstep = jax.jit(step_fn)
-    steps = args.steps_per_epoch or (len(train_ds) // args.batch_size)
 
     for epoch in range(start_epoch, args.epochs):
-        lr = args.lr * (args.lr_decay ** epoch)  # per-epoch decay, train.py:403-409
         loss_m, psnr_m, bpp_m = AverageMeter(), AverageMeter(), AverageMeter()
-        order = np.random.RandomState(epoch).permutation(len(train_ds))[: steps]
+        img_m = AverageMeter()
+        order = np.random.RandomState(epoch).permutation(len(train_ds))[
+            : steps * args.batch_size
+        ]
         t0 = time.time()
         for step, gop in enumerate(
-            prefetch_batches(train_ds, order, batch_size=1)
+            prefetch_batches(train_ds, order, batch_size=args.batch_size)
         ):
             key, sk = jax.random.split(key)
-            # gop arrives [1, 7, S, S, 3] -> [7, S, S, 3]
-            params, opt_state, metrics = jstep(params, opt_state, gop[0], sk)
+            # gop arrives [B, 7, S, S, 3]; B==1 squeezes the batch axis
+            params, opt_state, metrics = jstep(
+                params, opt_state, gop if args.batch_size > 1 else gop[0], sk
+            )
             loss_m.update(float(metrics["loss"]))
             psnr_m.update(float(metrics["psnr"]))
             bpp_m.update(float(metrics["bpp"]))
+            img_m.update(float(metrics["img_loss"]))
             if step % 100 == 0:
                 print(
                     f"epoch {epoch} step {step}/{steps} "
@@ -129,13 +199,15 @@ def main(argv=None):
                     flush=True,
                 )
             if args.test_every and step and step % args.test_every == 0:
-                score = bpp_m.avg + spec.r * loss_m.avg
+                # RD score = bpp + distortion (reference test() returns
+                # ba_loss.avg + img_loss.avg, train.py:313)
+                score = bpp_m.avg + img_m.avg
                 save_checkpoint(ckpt_dir, {
                     "params": params, "opt_state": opt_state,
                     "epoch": epoch, "score": score,
                 }, best=score < best_score)
                 best_score = min(best_score, score)
-        score = bpp_m.avg + psnr_m.avg * 0  # epoch score = avg bpp proxy
+        score = bpp_m.avg + img_m.avg
         save_checkpoint(ckpt_dir, {
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "score": score,

@@ -120,7 +120,11 @@ def main(argv=None):
             bits = touchup_bits(
                 np.asarray(recons), np.asarray(labels), np.asarray(masks)
             )
-            touch_m.update(bits * 8 / gop.size * 3)  # bits per pixel accounting
+            # bandwidth accounting: touchup_bits returns zlib BYTES; bpp =
+            # bytes*8 / pixels, pixels = GOP*V*S*S (gop.size counts the
+            # channel axis, hence // 3) — models.py:2218-2233
+            pixels = gop.size // 3
+            touch_m.update(bits * 8 / pixels)
             params, opt_state, metrics = jstep(params, opt_state, labels, sk, mask)
         else:
             params, opt_state, metrics = jstep(params, opt_state, gop, sk, mask)

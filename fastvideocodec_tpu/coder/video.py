@@ -19,12 +19,28 @@ coder.AsyncCoder; this function keeps it synchronous for clarity.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fastvideocodec_tpu.coder.service import BitEstimatorCodec, LaplaceCodec
 from fastvideocodec_tpu.models.registry import CodecSpec
+from fastvideocodec_tpu.ops.warp import exact_warp
+
+
+def _exact_warp_semantics(fn):
+    """Real-bitstream paths force the backend-independent XLA warp: the
+    Pallas kernel's displacement clamp would make a TPU-encoded stream
+    decode differently on CPU (or vice versa), breaking decode==encode."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with exact_warp():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _apply(spec, params, fn, *args):
@@ -39,6 +55,7 @@ def _codecs_from_params(params):
     return mv_codec, z_codec, feat_codec
 
 
+@_exact_warp_semantics
 def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
     """gop: [T, H, W, 3] with frame 0 already I-coded.
 
@@ -102,6 +119,7 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
     return streams, recon, bits
 
 
+@_exact_warp_semantics
 def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
                     num_p_frames: int):
     """Reconstructs P-frames from (I-frame, bitstreams) only."""
@@ -190,6 +208,7 @@ class HyperpriorCoder:
         return y_hat
 
 
+@_exact_warp_semantics
 def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     """ScaleSpaceFlow real-bitstream encode: keyframe + inter chain
     (reference compress path of SSF models). gop: [T, B, H, W, 3].
@@ -241,6 +260,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     return streams, jnp.stack(frames), bits
 
 
+@_exact_warp_semantics
 def ssf_decompress_gop(spec: CodecSpec, params, streams: dict):
     """Reconstructs the whole GOP from bitstreams only."""
     m = spec.module
@@ -305,6 +325,7 @@ def _rlvc_codec_real(spec, params, codec_name, dec4_name, x, rae_hidden,
     return hat, rae_hidden, rpm_hidden, prior_latent, stream, latent_hat.shape
 
 
+@_exact_warp_semantics
 def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     """RLVC real-bitstream encode over a GOP [T, H, W, 3] (frame 0 I-coded).
 
@@ -387,6 +408,7 @@ def _rlvc_codec_real_decode(spec, params, codec_name, dec4_name, rae_dec_state,
     return hat, rae_dec_state, rpm_hidden, prior_latent
 
 
+@_exact_warp_semantics
 def rlvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams,
                         latent_shapes):
     """RLVC real-bitstream decode from (I-frame, bitstreams): rebuilds

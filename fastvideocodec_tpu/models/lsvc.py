@@ -193,11 +193,9 @@ class LSVC(nn.Module):
         }
         return com_frames, mc_frames, warped_frames, metrics
 
-    def decode_gop(self, x_iframe, mv_hat, res_features):
-        """Placeholder for the real-bitstream decode path (round 2: consumes
-        host-decoded latents layer by layer, mirroring
-        TreeFrameReconDecompress models.py:1129-1152)."""
-        raise NotImplementedError
+    # Real-bitstream decode lives in coder/video.py (lsvc_decompress):
+    # host-decoded latents are consumed layer by layer, mirroring
+    # TreeFrameReconDecompress (models.py:1129-1152).
 
     def aux_loss(self):
         return jnp.zeros(())

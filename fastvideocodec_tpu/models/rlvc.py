@@ -76,6 +76,11 @@ class Coder2D(nn.Module):
         return self.enc4(x), state_enc
 
     def decode(self, latent_hat, state_dec, out_channels, dec4):
+        # Intentional deviation from the reference: its Coder2D decompress
+        # path REUSES enc_lstm with the decoder state (models.py:655-664 —
+        # the reference's dec_lstm weights are never exercised). Here the
+        # decoder has its own ConvLSTM, which is the stated design; porting
+        # reference checkpoints must map enc_lstm -> dec_lstm for this block.
         x = self.igdn1(self.dec1(latent_hat))
         x = self.igdn2(self.dec2(x))
         x, state_dec = self.dec_lstm(x, state_dec)

@@ -17,6 +17,7 @@ static under jit.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -104,6 +105,29 @@ def base_grid(B: int, H: int, W: int, dtype=jnp.float32) -> jax.Array:
 
 PALLAS_WARP_MAX_DISPLACEMENT = 56
 
+# When set (via exact_warp()), flow_warp always takes the XLA gather path.
+# The Pallas kernel clamps |flow| and differs in the last ulp from the
+# gather path, so a bitstream ENCODED with one backend must be DECODED with
+# the same semantics or the decode==encode-recon invariant breaks; the
+# real-bitstream coder paths (coder/video.py) therefore force the exact
+# path on both sides regardless of backend/shape.
+_FORCE_EXACT_WARP = False
+
+
+class exact_warp:
+    """Context manager: force the backend-independent XLA warp path."""
+
+    def __enter__(self):
+        global _FORCE_EXACT_WARP
+        self._prev = _FORCE_EXACT_WARP
+        _FORCE_EXACT_WARP = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_EXACT_WARP
+        _FORCE_EXACT_WARP = self._prev
+        return False
+
 
 def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Bilinear backward warp (reference torch_warp, models.py:732-741).
@@ -118,8 +142,17 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     gather at 1080p; displacements clamp at PALLAS_WARP_MAX_DISPLACEMENT
     pixels there (the XLA path is unbounded).
     """
-    B, H, W, _ = flow.shape
-    if jax.default_backend() == "tpu":
+    return _flow_warp_dispatch(img, flow, exact=_FORCE_EXACT_WARP)
+
+
+# The exact flag must be part of the jit cache key: jax shares one trace
+# cache across every `jax.jit(flow_warp)` wrapper, so a module-global read
+# at trace time would be frozen by whichever mode traced first. A nested
+# jit with a static argname keys the two paths separately (and is inlined
+# when tracing under an outer jit).
+@functools.partial(jax.jit, static_argnames=("exact",))
+def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool):
+    if not exact and jax.default_backend() == "tpu":
         from fastvideocodec_tpu.ops.pallas.warp_kernel import (
             _supported,
             pallas_flow_warp,

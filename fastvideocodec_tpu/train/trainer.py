@@ -86,28 +86,65 @@ def gop_loss(spec: CodecSpec, params, gop, training, rng, cfg: TrainConfig,
     return loss, metrics
 
 
-def make_train_step(spec: CodecSpec, cfg: TrainConfig, optimizer=None) -> tuple:
+def _is_quantile_path(path) -> bool:
+    return any("quantile" in str(getattr(k, "key", k)) for k in path)
+
+
+def make_optimizer(cfg: TrainConfig, learning_rate=None) -> optax.GradientTransformation:
+    """Main Adam (scheduled lr) for model params + a dedicated Adam at
+    cfg.aux_learning_rate for entropy-bottleneck `quantiles` params — the
+    reference/compressai two-optimizer split (compressai configure_optimizers;
+    the aux loss's gradient only reaches quantiles, so routing by param path
+    is exactly the '.quantiles' parameter group)."""
+    lr = cfg.learning_rate if learning_rate is None else learning_rate
+    main = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(lr, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay
+        else optax.adam(lr),
+    )
+    aux = optax.adam(cfg.aux_learning_rate)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "aux" if _is_quantile_path(path) else "main", params
+        )
+
+    return optax.multi_transform({"main": main, "aux": aux}, label_fn)
+
+
+def make_train_step(
+    spec: CodecSpec, cfg: TrainConfig, optimizer=None, batched: bool = False
+) -> tuple:
     """Returns (init_fn(params) -> opt_state, step_fn).
 
     step_fn(params, opt_state, gop, rng [, mask]) -> (params, opt_state,
-    metrics); jit it (or pjit over a mesh) at the call site.
+    metrics); jit it (or pjit over a mesh) at the call site. With
+    ``batched=True`` the gop (and mask) carry a leading batch axis; the loss
+    is vmapped over it and averaged (reference train.py batch_size > 1).
     """
-    if optimizer is None:
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
-            if cfg.weight_decay
-            else optax.adam(cfg.learning_rate),
-        )
-    else:
-        tx = optimizer
+    tx = make_optimizer(cfg) if optimizer is None else optimizer
 
     def init_fn(params):
         return tx.init(params)
 
+    def loss_fn(params, gop, rng, mask):
+        if not batched:
+            return gop_loss(spec, params, gop, True, rng, cfg, mask)
+        rngs = jax.random.split(rng, gop.shape[0])
+        if mask is None:
+            losses, metrics = jax.vmap(
+                lambda g, r: gop_loss(spec, params, g, True, r, cfg, None)
+            )(gop, rngs)
+        else:
+            losses, metrics = jax.vmap(
+                lambda g, r, mk: gop_loss(spec, params, g, True, r, cfg, mk)
+            )(gop, rngs, mask)
+        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
     def step_fn(params, opt_state, gop, rng, mask=None):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: gop_loss(spec, p, gop, True, rng, cfg, mask), has_aux=True
+            lambda p: loss_fn(p, gop, rng, mask), has_aux=True
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

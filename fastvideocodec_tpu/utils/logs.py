@@ -7,6 +7,7 @@ line 2: python-repr list of per-frame PSNRs
 
 from __future__ import annotations
 
+import ast
 import os
 
 
@@ -42,6 +43,6 @@ def read_eval_log(path: str):
             "dec_t": float(parts[3]),
             "aux": [float(p) for p in parts[4:]],
         }
-        psnrs = eval(lines[i + 1])  # noqa: S307 - trusted local log format
+        psnrs = ast.literal_eval(lines[i + 1])
         records.append((header, psnrs))
     return records
