@@ -24,9 +24,81 @@ def _conv(feats, k, s, dtype):
     return nn.Conv(feats, (k, k), strides=(s, s), padding=k // 2, dtype=dtype)
 
 
+def _polyphase_taps(k: int, stride: int):
+    """Tap layout of a stride-`stride` SAME transposed conv, per output phase.
+
+    lax.conv_transpose(SAME) = conv of the stride-dilated input with padding
+    (pad_a, pad_b); y[o] = sum_q w[q] * xd[o + q - pad_a] with xd[s*m] = x[m].
+    For output phase r (o = s*i + r) only taps with (r + q - pad_a) % s == 0
+    contribute, at input offset d = (r + q - pad_a) // s. Returns
+    (taps[r] -> list of (d, q), dmin, dmax)."""
+    pad_len = k + stride - 2
+    pad_a = k - 1 if stride > k - 1 else -(-pad_len // 2)
+    taps = {
+        r: [((r + q - pad_a) // stride, q) for q in range(k)
+            if (r + q - pad_a) % stride == 0]
+        for r in range(stride)
+    }
+    ds = [d for t in taps.values() for d, _ in t]
+    return taps, min(ds), max(ds)
+
+
+class PolyphaseDeconv(nn.Module):
+    """Stride-2 transposed conv computed polyphase: one dense stride-1 conv
+    producing s*s*Cout channels + a depth-to-space interleave.
+
+    Mathematically identical to nn.ConvTranspose(SAME) with the same
+    (k, k, Cin, Cout) 'kernel' param (modulo fp summation order), but the
+    MXU never multiplies the zeros of the stride-dilated input: on a v5e
+    the dilated lowering wastes ~(s*s-1)/(s*s) of its MACs, and the dense
+    form also quadruples the output-channel dimension (better MXU lane
+    utilization at the reference's 64/96-channel widths)."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        w = w.astype(self.dtype)
+        taps, dmin, dmax = _polyphase_taps(k, s)
+        L = dmax - dmin + 1
+        kern = jnp.zeros((L, L, cin, s, s, self.features), self.dtype)
+        for ry in range(s):
+            for dy, qy in taps[ry]:
+                for rx in range(s):
+                    for dx, qx in taps[rx]:
+                        kern = kern.at[dy - dmin, dx - dmin, :, ry, rx, :].set(
+                            w[qy, qx]
+                        )
+        kern = kern.reshape(L, L, cin, s * s * self.features)
+        y = jax.lax.conv_general_dilated(
+            x, kern, (1, 1),
+            padding=((-dmin, dmax), (-dmin, dmax)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        B, H, W = y.shape[:3]
+        y = y.reshape(B, H, W, s, s, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, self.features)
+        return y + bias.astype(self.dtype)
+
+
 def _deconv(feats, k, s, dtype):
     # torch ConvTranspose2d(k, s, padding=k//2, output_padding=s-1) doubles
-    # spatial dims for s=2; flax SAME padding transposed conv does the same.
+    # spatial dims for s=2; the polyphase form computes the identical map
+    # without the stride-dilated input (see PolyphaseDeconv).
+    if s == 2:
+        return PolyphaseDeconv(feats, kernel_size=k, dtype=dtype)
     return nn.ConvTranspose(feats, (k, k), strides=(s, s), padding="SAME", dtype=dtype)
 
 

@@ -6,25 +6,28 @@ warping (the codec's hottest op: SPyNet levels + motion compensation,
 SURVEY.md §2.9 'CUDA kernels -> Pallas') 99% of LSVC runtime.
 
 Idea: express the warp as dense MXU math instead of random access. For an
-(8, 128) output tile, every source pixel lies in a bounded halo around the
-tile (|flow| clamped to max_displacement R). Bilinear sampling is
+(8, TILE_W) output tile, every source pixel lies in a bounded halo around
+the tile (|flow| clamped to max_displacement R). Bilinear sampling is
 
-    out[p, c] = sum_h sum_x Wr[p, h] * Wc[p, x] * halo[h, x, c]
+    out[p, c] = sum_h sum_x Wr[p, h] * Wc[p, x] * halo[c, h, x]
 
 with Wr a per-pixel 2-tap vertical lerp and Wc the horizontal one. The
-kernel computes E = Wr @ halo as ONE [1024, Hh] @ [Hh, C*Wh] MXU matmul per
-tile (channel planes concatenated along halo lanes) followed by a VPU
-multiply-reduce for the horizontal taps.
+kernel computes E_c = Wr @ halo[c] as one [P, Hh] x [Hh, Wh] MXU matmul per
+channel followed by a VPU multiply-reduce for the horizontal taps.
 
-Mosaic cannot reshape across sublane/lane boundaries, so the flow input and
-the warp output travel in a pre-tiled layout ([B, nI, nJ, P(, ...)] with
-P = 8*128 flattened tile pixels); the XLA-side reshapes/transposes around
-the pallas_call are cheap relayouts.
+The halo travels as ONE 3-D DMA per grid step from a channel-planar padded
+source [B, C, Hp, Wp] into a [C, Hh, Wh] VMEM scratch (channel-count-
+independent issue cost — the space-to-depth LSVC-TPU variant warps 12/48-
+channel images). Mosaic cannot reshape across sublane/lane boundaries, so
+the flow input and the warp output travel in a pre-tiled layout
+([B, nI, nJ, P(, ...)] with P = 8*TILE_W flattened tile pixels); the
+XLA-side reshapes/transposes around the pallas_call are cheap relayouts.
 
 Semantics match ops.warp.flow_warp (linspace grid + flow/(size-1)*2, border
 padding, align_corners=False) exactly for |flow| <= R; larger displacements
-clamp to R. Backward falls back to the XLA implementation via custom_vjp,
-so training gradients are exact.
+clamp to R (per call site — motion-compensation warps of a trained codec
+need far less halo than full-res SPyNet). Backward falls back to the XLA
+implementation via custom_vjp, so training gradients are exact.
 """
 
 from __future__ import annotations
@@ -37,8 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
-TILE_W = 256
+TILE_W = 128
 P = TILE_H * TILE_W
+
+MAX_KERNEL_CHANNELS = 64  # per-channel dot unroll bound (VMEM + code size)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -51,19 +56,15 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    # DMA each channel plane of the halo window into its lane band of the
-    # [Hh, C*Wh] scratch. Padded-image coords offset by +R cancel the -R
-    # halo origin, so windows start exactly at (ti*TILE_H, tj*TILE_W).
-    copies = [
-        pltpu.make_async_copy(
-            xpad_ref.at[b, c, pl.ds(ti * TILE_H, Hh), pl.ds(tj * TILE_W, Wh)],
-            halo_scratch.at[:, pl.ds(c * Wh, Wh)],
-            dma_sem.at[c],
-        )
-        for c in range(C)
-    ]
-    for cp in copies:
-        cp.start()
+    # One 3-D DMA: the [C, Hh, Wh] halo window. Padded-image coords offset
+    # by +R cancel the -R halo origin, so windows start exactly at
+    # (ti*TILE_H, tj*TILE_W).
+    cp = pltpu.make_async_copy(
+        xpad_ref.at[b, :, pl.ds(ti * TILE_H, Hh), pl.ds(tj * TILE_W, Wh)],
+        halo_scratch,
+        dma_sem,
+    )
+    cp.start()
 
     flow = flow_ref[0, 0, 0].astype(jnp.float32)  # [P, 2]
 
@@ -94,28 +95,31 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     xx = jax.lax.broadcasted_iota(jnp.int32, (P, Wh), 1).astype(jnp.float32)
     wc = jnp.where(xx == x0, 1.0 - tx, 0.0) + jnp.where(xx == x0 + 1.0, tx, 0.0)
 
-    for cp in copies:
-        cp.wait()
+    cp.wait()
 
     if out_dtype == jnp.bfloat16:
         mm_dtype, mm_prec = jnp.bfloat16, None
     else:
         mm_dtype, mm_prec = jnp.float32, jax.lax.Precision.HIGHEST
     wr = wr.astype(mm_dtype)
-    # channel-banded so the f32 E intermediate stays within VMEM
+    # channel-banded so the f32 E intermediate stays within VMEM; the output
+    # block is [P, C] (pixels in sublanes, channels in lanes) — a [.., C, P, 1]
+    # layout would pad the trailing 1 to 128 lanes and blow VMEM at C=48
     for c in range(C):
         e = jax.lax.dot_general(
             wr,
-            halo_scratch[:, c * Wh : (c + 1) * Wh].astype(mm_dtype),
+            halo_scratch[c].astype(mm_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_prec,
         )  # [P, Wh]
         s = jnp.sum(wc * e, axis=1, keepdims=True)
-        out_ref[0, 0, 0, c] = s.astype(out_dtype)  # [P, 1]
+        out_ref[0, 0, 0, :, c : c + 1] = s.astype(out_dtype)  # [P, 1]
 
 
-def _pallas_warp(img: jax.Array, flow: jax.Array, R: int) -> jax.Array:
+def _pallas_warp(
+    img: jax.Array, flow: jax.Array, R: int, interpret: bool = False
+) -> jax.Array:
     B, H, W, C = img.shape
     # halo dims rounded to the (8, 128) tile so VMEM scratch stays aligned
     Hh = _round_up(TILE_H + 2 * R + 1, TILE_H)
@@ -150,24 +154,29 @@ def _pallas_warp(img: jax.Array, flow: jax.Array, R: int) -> jax.Array:
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, C, P, 1),
-            lambda b, i, j: (b, i, j, 0, 0, 0),
+            (1, 1, 1, P, C),
+            lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, C, P, 1), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, P, C), img.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Hh, C * Wh), img.dtype),
-            pltpu.SemaphoreType.DMA((C,)),
+            pltpu.VMEM((C, Hh, Wh), img.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(flow_t, xpad)
-    # untile: [B, nI, nJ, C, P, 1] -> [B, H, W, C]
-    out = out.reshape(B, nI, nJ, C, TILE_H, TILE_W)
-    return out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C)
+    # untile: [B, nI, nJ, P, C] -> [B, H, W, C]
+    out = out.reshape(B, nI, nJ, TILE_H, TILE_W, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
 def _supported(img_shape) -> bool:
     B, H, W, C = img_shape
-    return H % TILE_H == 0 and W % TILE_W == 0 and W >= TILE_W and H >= TILE_H
+    return (
+        H % TILE_H == 0 and W % TILE_W == 0
+        and W >= TILE_W and H >= TILE_H
+        and C <= MAX_KERNEL_CHANNELS
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

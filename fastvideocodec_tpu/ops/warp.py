@@ -129,7 +129,9 @@ class exact_warp:
         return False
 
 
-def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+def flow_warp(
+    img: jax.Array, flow: jax.Array, max_displacement: int | None = None
+) -> jax.Array:
     """Bilinear backward warp (reference torch_warp, models.py:732-741).
 
     img: [B, H, W, C]; flow: [B, H, W, 2] in pixels (x-displacement,
@@ -138,11 +140,15 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     align_corners=False — matching torch defaults used by the reference.
 
     On TPU, shapes divisible by the (8, 128) tile dispatch to the Pallas
-    MXU kernel (ops/pallas/warp_kernel.py) — ~20x faster than the XLA
-    gather at 1080p; displacements clamp at PALLAS_WARP_MAX_DISPLACEMENT
-    pixels there (the XLA path is unbounded).
+    MXU kernel (ops/pallas/warp_kernel.py) — far faster than the XLA
+    gather at 1080p; displacements clamp at `max_displacement` pixels
+    there (default PALLAS_WARP_MAX_DISPLACEMENT; the XLA path is
+    unbounded). Call sites with known-small motion (e.g. trained MC warps)
+    should pass a smaller bound — the kernel's halo DMA and one-hot matmul
+    both scale with it.
     """
-    return _flow_warp_dispatch(img, flow, exact=_FORCE_EXACT_WARP)
+    r = PALLAS_WARP_MAX_DISPLACEMENT if max_displacement is None else max_displacement
+    return _flow_warp_dispatch(img, flow, exact=_FORCE_EXACT_WARP, r=r)
 
 
 # The exact flag must be part of the jit cache key: jax shares one trace
@@ -150,8 +156,8 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
 # at trace time would be frozen by whichever mode traced first. A nested
 # jit with a static argname keys the two paths separately (and is inlined
 # when tracing under an outer jit).
-@functools.partial(jax.jit, static_argnames=("exact",))
-def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool):
+@functools.partial(jax.jit, static_argnames=("exact", "r"))
+def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool, r: int):
     if not exact and jax.default_backend() == "tpu":
         from fastvideocodec_tpu.ops.pallas.warp_kernel import (
             _supported,
@@ -159,15 +165,21 @@ def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool):
         )
 
         if _supported(img.shape):
-            return pallas_flow_warp(img, flow, PALLAS_WARP_MAX_DISPLACEMENT)
+            return pallas_flow_warp(img, flow, r)
     return _xla_flow_warp(img, flow)
 
 
 def _xla_flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
-    """Gather-based reference implementation (exact, unbounded flow)."""
+    """Gather-based reference implementation (exact, unbounded flow).
+
+    Coordinate math runs in float32 regardless of input dtype: a bf16
+    normalized grid has ~1-pixel ulp at 1080p widths, which turns the warp
+    into garbage (and diverges from the Pallas kernel, which always builds
+    coordinates in f32). The gathered VALUES stay in the image dtype.
+    """
     B, H, W, _ = flow.shape
-    norm = jnp.array([2.0 / max(W - 1, 1), 2.0 / max(H - 1, 1)], dtype=flow.dtype)
-    grid = base_grid(B, H, W, dtype=flow.dtype) + flow * norm
+    norm = jnp.array([2.0 / max(W - 1, 1), 2.0 / max(H - 1, 1)], dtype=jnp.float32)
+    grid = base_grid(B, H, W, dtype=jnp.float32) + flow.astype(jnp.float32) * norm
     return grid_sample_bilinear(img, grid, padding_mode="border", align_corners=False)
 
 
