@@ -4,43 +4,44 @@ on one TPU chip, apples-to-apples with the reference baseline.
 Reference baseline: LSVC decodes at 0.0310 s/frame (~32 fps) on a GTX
 1080 Ti at 640x960 (BASELINE.md; plot_hermes.py:735-737). This bench times
 the tree-parallel GOP=16 DECODE path (mv synthesis + log-depth motion
-compensation + hyper/residual synthesis — everything the receiver runs,
-excluding host entropy decoding) at the harder 1024x2048, in bfloat16.
-The full encode+decode fps (flow estimation + analysis transforms included,
-the repo's >=30 fps north star) is printed to stderr alongside.
+compensation + hyper/residual synthesis + depth-to-space — everything the
+receiver runs on device, excluding host entropy decoding) at the harder
+1024x2048, in bfloat16, for the TPU-native LSVC-TPU configuration
+(space-to-depth domain; models/lsvc.py docstring). The full encode+decode
+fps (flow estimation + analysis transforms included, the repo's >=30 fps
+north star) is printed to stderr alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
 def main():
+    # FVC_XPROF=<dir>: capture a jax.profiler trace of one timed iteration
+    # for xprof/TensorBoard (utils.meters.xprof_trace)
+    xprof_dir = os.environ.get("FVC_XPROF", "")
     from fastvideocodec_tpu.models import get_codec_model
     from fastvideocodec_tpu.gop import rollout
+    from fastvideocodec_tpu.ops import depth_to_space, space_to_depth
 
     GOP = 16  # 1 I-frame + 15 P-frames (eval.py:495 fP=15)
     H, W = 1024, 2048
 
-    from fastvideocodec_tpu.models import LSVC
-
-    spec = get_codec_model("LSVC-128", dtype=jnp.bfloat16)
-    # per-layer motion staging: identical math, ~2x lower peak HBM — needed
-    # to fit the whole 1080p GOP on one 16GB v5e chip
-    spec.module = LSVC(
-        channels=128, per_layer_mv=True, layer_chunk=4, dtype=jnp.bfloat16
-    )
+    spec = get_codec_model("LSVC-TPU", dtype=jnp.bfloat16)
     module = spec.module
 
     key = jax.random.PRNGKey(0)
     small = jax.random.uniform(key, (GOP, 256, 256, 3), dtype=jnp.bfloat16)
-    params = jax.jit(partial(module.init, training=False))({"params": key}, small)
+    params = jax.jit(
+        lambda k, g: module.init({"params": k}, g, training=False)
+    )(key, small)
 
     gop = jax.random.uniform(key, (GOP, H, W, 3), dtype=jnp.bfloat16)
 
@@ -55,6 +56,14 @@ def main():
     # before the remote compile+execute completes under the axon relay)
     out = fn(params, gop)
     _ = float(out[0])
+
+    if xprof_dir:
+        from fastvideocodec_tpu.utils.meters import xprof_trace
+
+        with xprof_trace(xprof_dir):
+            out = fn(params, gop)
+            _ = float(out[0])
+        print(f"xprof trace written to {xprof_dir}", file=sys.stderr)
 
     iters = 5
     # distinct inputs per iteration: the axon relay memoizes identical
@@ -76,9 +85,6 @@ def main():
         vals.append(float(out[0]))
         times.append(time.perf_counter() - t0)
     dt = sum(times)
-    # sanity: per-iter spread printed to stderr for debugging
-    import sys
-
     print(
         f"iters(s): {[round(t, 4) for t in times]} mean_recon={vals[-1]:.4f} "
         f"(all: {[round(v, 4) for v in vals]})",
@@ -90,11 +96,12 @@ def main():
     print(f"encode+decode: {encdec_fps:.2f} fps", file=sys.stderr)
 
     # ---- decode-only path (receiver side): mv synthesis + tree MC +
-    # residual synthesis from quantized latents -----------------------------
+    # hyper + residual synthesis from quantized latents + depth-to-space ----
     bs = GOP - 1
     sched = module.schedule(bs)
+    s2d = module.s2d
 
-    def decode(p, iframe, mv_q, z_qs, feat_qs):
+    def decode(p, iframe_s2d, mv_q, z_qs, feat_qs):
         mv_hat = module.apply(p, mv_q, method=lambda m, q: m.mv_decoder(q))
         com = [None] * bs
         sigma_sum = jnp.zeros((), jnp.float32)
@@ -112,7 +119,7 @@ def main():
             for ci in range(0, len(layer), chunk):
                 part = layer[ci : ci + chunk]
                 refs = [
-                    iframe if sched.parents[f] == 0 else com[sched.parents[f] - 1]
+                    iframe_s2d if sched.parents[f] == 0 else com[sched.parents[f] - 1]
                     for f in part
                 ]
                 ref = jnp.stack(refs)
@@ -128,12 +135,15 @@ def main():
                 com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
                 for i, f in enumerate(part):
                     com[f - 1] = com_frames[i]
+        out = jnp.stack(com)
+        if s2d > 1:
+            out = depth_to_space(out, s2d)  # receiver emits full-res frames
         # return sigma_sum separately and materialize BOTH scalars on host —
-        # 0.0*x folding aside, two live outputs make DCE impossible
-        return jnp.mean(jnp.stack(com)), sigma_sum
+        # two live outputs make DCE impossible
+        return jnp.mean(out), sigma_sum
 
-    lh, lw = H // 16, W // 16
-    mv_q = jax.random.normal(key, (bs, lh, lw, 128), jnp.bfloat16)
+    lh, lw = H // 16, W // 16  # latent resolution (/16 of full, both configs)
+    mv_q = jax.random.normal(key, (bs, lh, lw, module.channels), jnp.bfloat16)
     z_qs = [
         jax.random.normal(key, (len(l), lh // 4, lw // 4, 64), jnp.bfloat16)
         for l in sched.layers
@@ -142,14 +152,18 @@ def main():
         jax.random.normal(key, (len(l), lh, lw, 96), jnp.bfloat16)
         for l in sched.layers
     ]
+    iframe = gop[0:1]
+    iframe_s2d = (
+        space_to_depth(iframe, s2d)[0] if s2d > 1 else iframe[0]
+    )
     dfn = jax.jit(decode)
-    out = dfn(params, gop[0], mv_q, z_qs, feat_qs)
+    out = dfn(params, iframe_s2d, mv_q, z_qs, feat_qs)
     _ = (float(out[0]), float(out[1]))
     dts = []
     for i in range(iters):
         mv_i = jax.block_until_ready(mv_q * (0.8 + 0.04 * i))
         t0 = time.perf_counter()
-        out = dfn(params, gop[0], mv_i, z_qs, feat_qs)
+        out = dfn(params, iframe_s2d, mv_i, z_qs, feat_qs)
         _ = (float(out[0]), float(out[1]))
         dts.append(time.perf_counter() - t0)
     dec_fps = (GOP - 1) * iters / sum(dts)

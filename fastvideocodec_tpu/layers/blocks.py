@@ -91,16 +91,61 @@ class WarpNet(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(c5)
 
 
-class MEBasic(nn.Module):
-    """One SPyNet refinement level: 5 7x7 convs (reference models.py:833-855)."""
+class WarpNetTPU(nn.Module):
+    """TPU-native motion-compensation refinement (no reference counterpart;
+    replaces Warp_net in the LSVC-TPU config).
 
+    The reference Warp_net runs two 64-wide ResBlocks at full input
+    resolution — at C=64 the v5e MXU runs 3x3 convs at ~1/4 peak, and the
+    full-res blocks are ~70% of its cost. This variant downsamples with a
+    stride-2 stem conv, runs a wider (better lane-utilized) U-net trunk a
+    level lower, and upsamples back with a polyphase deconv; the residual
+    connection to the warped frame stays at input resolution, so the warp's
+    fine detail is preserved and the trunk only predicts the correction.
+    ~6x cheaper than Warp_net at equal half-resolution inputs.
+    """
+
+    out_channels: int = 12
+    width: int = 96
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        for feats in (32, 64, 32, 16):
-            x = jax.nn.relu(nn.Conv(feats, (7, 7), padding=3, dtype=self.dtype)(x))
-        return nn.Conv(2, (7, 7), padding=3, dtype=self.dtype)(x)
+        from fastvideocodec_tpu.layers.transforms import PolyphaseDeconv
+        from fastvideocodec_tpu.ops.warp import avg_pool2, bilinear_upsample_x2_ac
+
+        w = self.width
+        f = jax.nn.relu(
+            nn.Conv(w, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
+        )
+        c0 = ResBlock(w, dtype=self.dtype)(f)
+        c1 = ResBlock(w, dtype=self.dtype)(avg_pool2(c0))
+        c2 = ResBlock(w, dtype=self.dtype)(c1)
+        c2_u = c0 + bilinear_upsample_x2_ac(c2)
+        c3 = ResBlock(w, dtype=self.dtype)(c2_u)
+        return PolyphaseDeconv(self.out_channels, kernel_size=3, dtype=self.dtype)(c3)
+
+
+class MEBasic(nn.Module):
+    """One SPyNet refinement level: 5 convs (reference models.py:833-855).
+
+    Defaults match the reference (7x7 kernels, widths 32/64/32/16). The
+    TPU-native configs narrow the kernel to 5x5 — at the half-resolution
+    space-to-depth stem each pixel spans 2 source pixels, so the receptive
+    field in source pixels is comparable."""
+
+    widths: tuple = (32, 64, 32, 16)
+    kernel: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        for feats in self.widths:
+            x = jax.nn.relu(
+                nn.Conv(feats, (k, k), padding=k // 2, dtype=self.dtype)(x)
+            )
+        return nn.Conv(2, (k, k), padding=k // 2, dtype=self.dtype)(x)
 
 
 # ---------------------------------------------------------------------------

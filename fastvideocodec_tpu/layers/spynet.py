@@ -28,6 +28,10 @@ from fastvideocodec_tpu.ops.warp import avg_pool2, bilinear_upsample_x2, flow_wa
 
 class SpyNet(nn.Module):
     levels: int = 4
+    widths: tuple = (32, 64, 32, 16)  # MEBasic conv widths
+    kernel: int = 7                   # MEBasic kernel size (all levels), or
+    kernels: tuple = ()               # per-level sizes, coarsest first —
+    # fine levels refine by ~±1px so the TPU configs shrink their kernels
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,7 +54,11 @@ class SpyNet(nn.Module):
             tgt = im1s[L - 1 - lvl]
             ref = im2s[L - 1 - lvl]
             inp = jnp.concatenate([tgt, flow_warp(ref, up), up], axis=-1)
-            flow = up + MEBasic(dtype=self.dtype, name=f"level{lvl + 1}")(inp)
+            k = self.kernels[lvl] if self.kernels else self.kernel
+            flow = up + MEBasic(
+                widths=self.widths, kernel=k,
+                dtype=self.dtype, name=f"level{lvl + 1}",
+            )(inp)
         return flow
 
 

@@ -25,17 +25,21 @@ def _conv(feats, k, s, dtype):
 
 
 def _polyphase_taps(k: int, stride: int):
-    """Tap layout of a stride-`stride` SAME transposed conv, per output phase.
+    """Tap layout of a transposed conv in the reference's torch geometry
+    (ConvTranspose2d(k, stride, padding=k//2, output_padding=stride-1) —
+    the convention every deconv in the reference uses), per output phase.
 
-    lax.conv_transpose(SAME) = conv of the stride-dilated input with padding
-    (pad_a, pad_b); y[o] = sum_q w[q] * xd[o + q - pad_a] with xd[s*m] = x[m].
+    A transposed conv = conv of the stride-dilated input with padding
+    pad_a = k-1-padding on the left; y[o] = sum_q w_flip[q] * xd[o + q -
+    pad_a] with xd[s*m] = x[m] and w_flip the spatially flipped kernel
+    (torch conv_transpose correlates un-flipped in transposed indexing).
     For output phase r (o = s*i + r) only taps with (r + q - pad_a) % s == 0
     contribute, at input offset d = (r + q - pad_a) // s. Returns
-    (taps[r] -> list of (d, q), dmin, dmax)."""
-    pad_len = k + stride - 2
-    pad_a = k - 1 if stride > k - 1 else -(-pad_len // 2)
+    (taps[r] -> list of (d, q_flipped), dmin, dmax); q indexes the
+    UN-flipped kernel so imported torch weights drop in directly."""
+    pad_a = k - 1 - k // 2
     taps = {
-        r: [((r + q - pad_a) // stride, q) for q in range(k)
+        r: [((r + q - pad_a) // stride, k - 1 - q) for q in range(k)
             if (r + q - pad_a) % stride == 0]
         for r in range(stride)
     }
@@ -107,10 +111,13 @@ def leaky01(x):
 
 
 class AnalysisNet(nn.Module):
-    """Residual analysis: 4x (5x5 s2 conv + GDN) (DVC/subnet/analysis.py:10-61)."""
+    """Residual analysis: `stages`x (5x5 s2 conv + GDN, no GDN on the last)
+    (DVC/subnet/analysis.py:10-61; reference stages=4). The TPU s2d configs
+    use stages=3 so the latent sits at the same /16 of FULL resolution."""
 
     conv_channels: int = OUT_CHANNEL_N
     out_channels: int = OUT_CHANNEL_M
+    stages: int = 4
     use_attn: bool = False
     attn_depth: int = 12
     dtype: jnp.dtype = jnp.float32
@@ -118,9 +125,8 @@ class AnalysisNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.conv_channels
-        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
-        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
-        x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
+        for _ in range(self.stages - 1):
+            x = GDN(c, dtype=self.dtype)(_conv(c, 5, 2, self.dtype)(x))
         x = _conv(self.out_channels, 5, 2, self.dtype)(x)
         if self.use_attn:
             x = SpaceTimeAttention(
@@ -134,6 +140,7 @@ class SynthesisNet(nn.Module):
 
     conv_channels: int = OUT_CHANNEL_N
     out_channels: int = 3
+    stages: int = 4
     use_attn: bool = False
     attn_depth: int = 12
     dtype: jnp.dtype = jnp.float32
@@ -143,9 +150,8 @@ class SynthesisNet(nn.Module):
         if self.use_attn:
             x = SpaceTimeAttention(x.shape[-1], depth=self.attn_depth, dtype=self.dtype)(x)
         c = self.conv_channels
-        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
-        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
-        x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
+        for _ in range(self.stages - 1):
+            x = GDN(c, inverse=True, dtype=self.dtype)(_deconv(c, 5, 2, self.dtype)(x))
         return _deconv(self.out_channels, 5, 2, self.dtype)(x)
 
 
@@ -155,6 +161,7 @@ class AnalysisMVNet(nn.Module):
 
     conv_channels: int = OUT_CHANNEL_MV
     out_channels: int = OUT_CHANNEL_MV
+    stages: int = 4  # number of stride-2 convs among the 8 layers
     use_attn: bool = False
     attn_depth: int = 12
     dtype: jnp.dtype = jnp.float32
@@ -162,7 +169,8 @@ class AnalysisMVNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.conv_channels
-        for stride in (2, 1, 2, 1, 2, 1, 2):
+        strides = [2, 1] * (self.stages - 1) + [2]
+        for stride in strides:
             x = leaky01(_conv(c, 3, stride, self.dtype)(x))
         x = _conv(self.out_channels, 3, 1, self.dtype)(x)
         if self.use_attn:
@@ -177,6 +185,7 @@ class SynthesisMVNet(nn.Module):
 
     conv_channels: int = OUT_CHANNEL_MV
     out_channels: int = 2
+    stages: int = 4  # number of stride-2 deconvs among the 8 layers
     use_attn: bool = False
     attn_depth: int = 12
     dtype: jnp.dtype = jnp.float32
@@ -186,7 +195,8 @@ class SynthesisMVNet(nn.Module):
         if self.use_attn:
             x = SpaceTimeAttention(x.shape[-1], depth=self.attn_depth, dtype=self.dtype)(x)
         c = self.conv_channels
-        for up in (True, False, True, False, True, False, True):
+        ups = [True, False] * (self.stages - 1) + [True]
+        for up in ups:
             if up:
                 x = leaky01(_deconv(c, 3, 2, self.dtype)(x))
             else:

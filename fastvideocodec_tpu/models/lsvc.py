@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from fastvideocodec_tpu.entropy.bit_estimator import BitEstimator
 from fastvideocodec_tpu.gop.graph import TreeSchedule, tree_schedule
-from fastvideocodec_tpu.layers.blocks import WarpNet
+from fastvideocodec_tpu.layers.blocks import WarpNet, WarpNetTPU
 from fastvideocodec_tpu.layers.spynet import SpyNet
 from fastvideocodec_tpu.layers.transforms import (
     OUT_CHANNEL_N,
@@ -33,11 +33,32 @@ from fastvideocodec_tpu.layers.transforms import (
     SynthesisNet,
     SynthesisPriorNet,
 )
-from fastvideocodec_tpu.ops import bits_estimate, flow_warp, laplace_likelihood, quantize
+from fastvideocodec_tpu.ops import (
+    avg_pool2,
+    bits_estimate,
+    depth_to_space,
+    flow_warp,
+    laplace_likelihood,
+    quantize,
+    space_to_depth,
+)
 
 
 class LSVC(nn.Module):
-    """__call__(x: [T, H, W, 3]) codes the whole GOP (frame 0 = I-frame)."""
+    """__call__(x: [T, H, W, 3]) codes the whole GOP (frame 0 = I-frame).
+
+    `s2d=2` selects the TPU-native "LSVC-TPU" configuration (new in this
+    framework, ROADMAP round-2 item 1): the codec runs entirely in a
+    space-to-depth domain ([H/2, W/2, 12] frames), flow is estimated by
+    SpyNet on the 2x2-average-pooled RGB pyramid (3-channel warps are 4x
+    cheaper than 12-channel ones and pooling needs no parameters), motion
+    compensation warps the s2d reconstruction with a bounded displacement,
+    and the synthesis transform emits 12 channels that depth-to-space back
+    to full resolution. Convs never see a 3-channel full-resolution
+    tensor, which starves the MXU's 128 lanes; transform stages drop from
+    4 to 3 so latents sit at the same /16 of full resolution as the
+    reference. MSE in the s2d domain equals full-resolution MSE exactly
+    (s2d is a permutation), so the RD objective is unchanged."""
 
     channels: int = 128          # mv latent channels ('-128' variant)
     use_attn: bool = False       # '-A': attention in analysis transforms
@@ -50,23 +71,42 @@ class LSVC(nn.Module):
     # memory drops ~2x — needed for whole-GOP 1080p on one 16GB chip
     layer_chunk: int = 0         # >0: split tree layers into chunks of at
     # most this many frames (sequential); bounds peak HBM at high res
+    s2d: int = 1                 # 2: TPU-native space-to-depth domain
+    spynet_widths: tuple = (32, 64, 32, 16)
+    spynet_kernel: int = 7
+    spynet_kernels: tuple = ()   # per-level kernel sizes, coarsest first
+    conv_channels: int = 0       # 0: family defaults (N=64 res, 128 mv)
+    warp_width: int = 64         # WarpNet trunk width
+    warp_tpu: bool = False       # use the quarter-res-trunk WarpNetTPU
+    mc_displacement: int = 0     # >0: bound MC-warp displacement (Pallas
+    # halo radius, in s2d-domain pixels); 0 = backend default
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.optic_flow = SpyNet(dtype=dt)
+        self.optic_flow = SpyNet(
+            widths=self.spynet_widths, kernel=self.spynet_kernel,
+            kernels=self.spynet_kernels, dtype=dt,
+        )
         d = self.attn_depth
+        stages = 4 if self.s2d == 1 else 3
+        res_c = self.conv_channels or OUT_CHANNEL_N
+        img_c = 3 * self.s2d * self.s2d
         self.mv_encoder = AnalysisMVNet(
             use_attn=self.use_attn, conv_channels=self.channels,
-            out_channels=self.channels, attn_depth=d, dtype=dt,
+            out_channels=self.channels, stages=stages, attn_depth=d, dtype=dt,
         )
         self.mv_decoder = SynthesisMVNet(
             use_attn=self.use_syn_attn, conv_channels=self.channels,
-            attn_depth=d, dtype=dt,
+            stages=stages, attn_depth=d, dtype=dt,
         )
-        self.res_encoder = AnalysisNet(use_attn=self.use_attn, attn_depth=d, dtype=dt)
+        self.res_encoder = AnalysisNet(
+            conv_channels=res_c, stages=stages,
+            use_attn=self.use_attn, attn_depth=d, dtype=dt,
+        )
         self.res_decoder = SynthesisNet(
-            use_attn=self.use_syn_attn, attn_depth=d, dtype=dt
+            conv_channels=res_c, out_channels=img_c, stages=stages,
+            use_attn=self.use_syn_attn, attn_depth=d, dtype=dt,
         )
         self.prior_encoder = AnalysisPriorNet(
             use_attn=self.use_attn, attn_depth=d, dtype=dt
@@ -76,7 +116,14 @@ class LSVC(nn.Module):
         )
         self.bit_estimator_mv = BitEstimator(self.channels)
         self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
-        self.warpnet = WarpNet(dtype=dt)
+        if self.warp_tpu:
+            self.warpnet = WarpNetTPU(
+                out_channels=img_c, width=self.warp_width, dtype=dt
+            )
+        else:
+            self.warpnet = WarpNet(
+                out_channels=img_c, width=self.warp_width, dtype=dt
+            )
 
     def schedule(self, bs: int) -> TreeSchedule:
         return tree_schedule(
@@ -84,7 +131,8 @@ class LSVC(nn.Module):
         )
 
     def motioncompensation(self, ref, mv):
-        warped = flow_warp(ref, mv)
+        r = self.mc_displacement if self.mc_displacement > 0 else None
+        warped = flow_warp(ref, mv, max_displacement=r)
         pred = self.warpnet(jnp.concatenate([warped, ref], axis=-1)) + warped
         return pred, warped
 
@@ -123,14 +171,23 @@ class LSVC(nn.Module):
             else [None] * (1 + sched.depth)
         )
 
+        # TPU s2d domain: the codec state (targets, refs, recons) lives at
+        # [H/2, W/2, 12]; flow estimation uses the avg-pooled RGB frames
+        # (same spatial resolution, 4x cheaper warps, no parameters).
+        if self.s2d > 1:
+            x_flow = avg_pool2(x)  # [T, H/2, W/2, 3]
+            x = space_to_depth(x, self.s2d)
+        else:
+            x_flow = x
+
         # Stage 1 (fully batched): flow for ALL P-frames vs raw tree parents
         # + motion coding in one batch (models.py:1354-1355). With
         # per_layer_mv the same computation runs inside the layer loop on
         # layer-sized batches instead (identical outputs, lower peak HBM).
         target = x[1:]
         if not self.per_layer_mv:
-            ref_raw = x[jnp.asarray(sched.ref_index)]
-            est_mv = self.optic_flow(target, ref_raw)
+            ref_raw = x_flow[jnp.asarray(sched.ref_index)]
+            est_mv = self.optic_flow(x_flow[1:], ref_raw)
             mv_hat, bits_mv = self.mv_codec(est_mv, training, rngs[0])
         else:
             mv_hat, bits_mv = None, 0.0
@@ -155,8 +212,10 @@ class LSVC(nn.Module):
                 ids = jnp.asarray([fid - 1 for fid in part])
                 tgt = target[ids]
                 if self.per_layer_mv:
-                    ref_raw = x[jnp.asarray([sched.ref_index[fid - 1] for fid in part])]
-                    est_mv = self.optic_flow(tgt, ref_raw)
+                    ref_raw = x_flow[
+                        jnp.asarray([sched.ref_index[fid - 1] for fid in part])
+                    ]
+                    est_mv = self.optic_flow(x_flow[1:][ids], ref_raw)
                     diff, mv_bits_l = self.mv_codec(
                         est_mv, training, rngs[0] if rngs[0] is None else
                         jax.random.fold_in(rngs[0], li * 64 + ci)
@@ -179,10 +238,17 @@ class LSVC(nn.Module):
         mc_frames = jnp.stack(mc)
         warped_frames = jnp.stack(warped)
 
+        # losses in the s2d domain equal the full-resolution values exactly
+        # (space_to_depth is a permutation of pixels)
         rec_loss = jnp.mean((com_frames - target) ** 2)
         warp_loss = jnp.mean((warped_frames - target) ** 2)
         mc_loss = jnp.mean((mc_frames - target) ** 2)
         denom = bs * H * W
+
+        if self.s2d > 1:
+            com_frames = depth_to_space(com_frames, self.s2d)
+            mc_frames = depth_to_space(mc_frames, self.s2d)
+            warped_frames = depth_to_space(warped_frames, self.s2d)
         metrics = {
             "rec_loss": rec_loss,
             "warp_loss": warp_loss,

@@ -76,15 +76,48 @@ def get_codec_model(
         family = "dvc"
     elif name.startswith("LSVC"):
         graph = "chain" if "-L" in name else ("onehop" if "-O" in name else "tree")
-        module = LSVC(
-            channels=128,  # only the '-128' channel plumbing is coherent in
-            # the reference (mvDecoder in_channels mismatch otherwise)
-            use_attn="-A" in name,
-            use_syn_attn="-S" in name,
-            graph=graph,
-            detach_tree="-D" in name,
-            dtype=dtype,
-        )
+        if "-TINY" in name:
+            # miniature config for golden-RD tests and fast experiments
+            # (this framework's own; ships trained weights in assets/)
+            module = LSVC(
+                channels=48,
+                conv_channels=32,
+                spynet_widths=(8, 16, 8, 4),
+                spynet_kernel=5,
+                warp_width=16,
+                graph=graph,
+                dtype=dtype,
+            )
+        elif "-TPU" in name:
+            # TPU-native config (this framework's own variant, no reference
+            # counterpart): space-to-depth domain, pooled-RGB SpyNet with
+            # 5x5 kernels, 128-wide transforms, bounded MC displacement
+            # (28 s2d px = 56 full-res px, the Pallas halo radius)
+            module = LSVC(
+                channels=128,
+                conv_channels=128,
+                s2d=2,
+                spynet_widths=(32, 64, 32, 16),
+                spynet_kernels=(5, 5, 3, 3),
+                warp_width=96,
+                warp_tpu=True,
+                mc_displacement=28,
+                use_attn="-A" in name,
+                use_syn_attn="-S" in name,
+                graph=graph,
+                detach_tree="-D" in name,
+                dtype=dtype,
+            )
+        else:
+            module = LSVC(
+                channels=128,  # only the '-128' channel plumbing is coherent in
+                # the reference (mvDecoder in_channels mismatch otherwise)
+                use_attn="-A" in name,
+                use_syn_attn="-S" in name,
+                graph=graph,
+                detach_tree="-D" in name,
+                dtype=dtype,
+            )
         family = "lsvc"
     elif name.startswith("Base"):
         module = Base(use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype)

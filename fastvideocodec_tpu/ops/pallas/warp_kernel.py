@@ -44,6 +44,7 @@ TILE_W = 128
 P = TILE_H * TILE_W
 
 MAX_KERNEL_CHANNELS = 64  # per-channel dot unroll bound (VMEM + code size)
+MAX_DISPLACEMENT_BOUND = 123  # Wh=384: TILE_W + 2R + 1 <= 384
 
 
 def _round_up(v: int, m: int) -> int:
@@ -170,12 +171,13 @@ def _pallas_warp(
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
-def _supported(img_shape) -> bool:
+def _supported(img_shape, R: int = 56) -> bool:
     B, H, W, C = img_shape
     return (
         H % TILE_H == 0 and W % TILE_W == 0
         and W >= TILE_W and H >= TILE_H
         and C <= MAX_KERNEL_CHANNELS
+        and R <= MAX_DISPLACEMENT_BOUND
     )
 
 
@@ -188,7 +190,7 @@ def pallas_flow_warp(img: jax.Array, flow: jax.Array, max_displacement: int = 56
     tiling cannot cover (small pyramid levels)."""
     from fastvideocodec_tpu.ops.warp import _xla_flow_warp as xla_flow_warp
 
-    if not _supported(img.shape):
+    if not _supported(img.shape, max_displacement):
         return xla_flow_warp(img, flow)
     return _pallas_warp(img, flow, max_displacement)
 

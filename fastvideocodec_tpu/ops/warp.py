@@ -164,7 +164,7 @@ def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool, r: int)
             pallas_flow_warp,
         )
 
-        if _supported(img.shape):
+        if _supported(img.shape, r):
             return pallas_flow_warp(img, flow, r)
     return _xla_flow_warp(img, flow)
 
@@ -336,6 +336,28 @@ def avg_pool2(x: jax.Array) -> jax.Array:
         (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
     )
     return s * jnp.asarray(0.25, x.dtype)
+
+
+def space_to_depth(x: jax.Array, r: int = 2) -> jax.Array:
+    """[B, H, W, C] -> [B, H/r, W/r, C*r*r] (pixel phases into channels).
+
+    The stem of the TPU-native codec variants: full-resolution convs at
+    C=3 starve the MXU's 128-wide lanes, so the LSVC-TPU config folds a
+    2x2 pixel block into 12 channels and runs the whole codec at half
+    resolution (ROADMAP round-2 item 1). Pure reshape/transpose — XLA
+    lowers it to a relayout, and MSE/PSNR over the s2d tensor equal the
+    full-resolution values exactly (it is a permutation)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // r, W // r, C * r * r)
+
+
+def depth_to_space(x: jax.Array, r: int = 2) -> jax.Array:
+    """Inverse of space_to_depth: [B, H, W, C*r*r] -> [B, H*r, W*r, C]."""
+    B, H, W, Crr = x.shape
+    C = Crr // (r * r)
+    x = x.reshape(B, H, W, r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * r, W * r, C)
 
 
 def _avg_pool2_fwd(x):

@@ -218,3 +218,28 @@ class TestSSFVolume:
         out = ops.warp_volume(vol, flow, scale)
         # scale=-1 maps to z=-0.5 clamped to 0 -> level 0 == x
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+class TestSpaceToDepth:
+    def test_roundtrip_and_mse_invariance(self):
+        x = jnp.asarray(_rand(2, 8, 12, 3, seed=17))
+        y = jnp.asarray(_rand(2, 8, 12, 3, seed=18))
+        xs = ops.space_to_depth(x, 2)
+        assert xs.shape == (2, 4, 6, 12)
+        np.testing.assert_array_equal(
+            np.asarray(ops.depth_to_space(xs, 2)), np.asarray(x)
+        )
+        # s2d is a permutation: MSE in either domain is identical
+        ms_full = float(jnp.mean((x - y) ** 2))
+        ms_s2d = float(
+            jnp.mean((ops.space_to_depth(x, 2) - ops.space_to_depth(y, 2)) ** 2)
+        )
+        assert abs(ms_full - ms_s2d) < 1e-7
+
+    def test_phase_layout(self):
+        # channel bands are (dy, dx) pixel phases of each 2x2 block
+        x = jnp.arange(2 * 2 * 1, dtype=jnp.float32).reshape(1, 2, 2, 1)
+        xs = ops.space_to_depth(x, 2)  # [1, 1, 1, 4]
+        np.testing.assert_array_equal(
+            np.asarray(xs).ravel(), np.array([0.0, 1.0, 2.0, 3.0])
+        )

@@ -83,6 +83,7 @@ def test_supported_shapes():
     assert not _supported((1, 12, 128, 3))  # H % 8 != 0
     assert not _supported((1, 16, 120, 3))  # W % 128 != 0
     assert not _supported((1, 16, 128, 65))  # channel unroll bound
+    assert not _supported((1, 16, 128, 3), R=124)  # beyond halo bound
 
 
 def test_spynet_flow_scale_through_pallas():
