@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--task", default="model", choices=["model", "x26x"])
     p.add_argument("--Q", type=int, default=27, help="x26x crf")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--real-bits", action="store_true",
+                   help="drive the real bitstream encode+decode: bpp_act, "
+                        "separate enc/dec times, net-vs-AC split in aux")
     return p.parse_args(argv)
 
 
@@ -87,12 +90,20 @@ def main(argv=None):
         log_path = f"{args.codec}.{args.dataset}.{args.evolve}.log"
         stats = evaluate_video(
             spec, params, ds, gop_size=gop, log_path=log_path, level=lvl,
-            max_gops=args.max_gops,
+            max_gops=args.max_gops, real_bits=args.real_bits,
         )
-        print(
+        msg = (
             f"level {lvl}: bpp {stats['bpp']:.4f} psnr {stats['psnr']:.2f} "
-            f"({stats['sec_per_frame']*1e3:.1f} ms/frame)"
+            f"(enc {stats['sec_per_frame']*1e3:.1f} / "
+            f"dec {stats['dec_sec_per_frame']*1e3:.1f} ms/frame)"
         )
+        if args.real_bits:
+            msg += (
+                f" [bpp_est {stats['bpp_est']:.4f}; AC enc "
+                f"{stats['enc_ac_sec_per_frame']*1e3:.1f} / dec "
+                f"{stats['dec_ac_sec_per_frame']*1e3:.1f} ms/frame]"
+            )
+        print(msg)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,30 @@ def parse_args(argv=None):
     p.add_argument("--decode-time", type=float, default=0.01,
                    help="s/frame decode table entry when logs carry none")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", default="abr", choices=["abr", "trace"],
+                   help="abr: BOLA over 2-line eval logs; trace: multicam "
+                        "adaptive-level simulation over {codec}.avg.log "
+                        "(reference train_multiview.py:417-479)")
+    p.add_argument("--num-views", type=int, default=4)
+    p.add_argument("--pixels-per-view", type=int, default=1920 * 1080)
     return p.parse_args(argv)
+
+
+def trace_main(args):
+    from fastvideocodec_tpu.analysis import read_avg_log, simulate_over_trace
+
+    down, _ = load_traces(args)
+    for log_path in args.logs:
+        table = read_avg_log(log_path)
+        for cat, level_records in sorted(table.items()):
+            res = simulate_over_trace(
+                level_records, down, args.num_views, args.pixels_per_view
+            )
+            print(
+                f"{log_path} cat {cat}: bpp {res['bpp']:.4f} "
+                f"psnr {res['psnr']:.2f} bpp_p1 {res['bpp_p1']:.4f} "
+                f"bpp_p01 {res['bpp_p01']:.4f} ({res['gops']} gops)"
+            )
 
 
 def load_traces(args):
@@ -55,6 +78,8 @@ def load_traces(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.task == "trace":
+        return trace_main(args)
     down, lat = load_traces(args)
     cfg = AbrConfig(gop=args.gop, fps=args.fps, trace_dur=args.trace_dur)
     for log_path in args.logs:

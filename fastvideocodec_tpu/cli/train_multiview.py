@@ -53,11 +53,87 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug", action="store_true", help="exit after 10 batches")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", default="train",
+                   choices=["train", "speed", "x26x"],
+                   help="speed: enc/dec fps vs view count "
+                        "(train_multiview.py:535-552); x26x: anchor "
+                        "side-by-side writing {codec}.avg.log (:345-390)")
+    p.add_argument("--max-views", type=int, default=6, help="speed-test sweep")
+    p.add_argument("--Q", type=int, default=27, help="x26x crf")
+    p.add_argument("--frame-comb", type=int, default=0,
+                   help="x26x multiview frame layout 0-3")
+    p.add_argument("--probe-bw-limit", type=float, default=0.0,
+                   help=">0: probe the OLFT touch-up rate (bits/s) and set "
+                        "the frame sampling interval to fit this budget")
     return p.parse_args(argv)
+
+
+def speed_test(args):
+    """Encode(+decode) fps vs number of views on synthetic 256x256 inputs
+    (reference speed-test mode + its measured table,
+    train_multiview.py:535-552)."""
+    key = jax.random.PRNGKey(args.seed)
+    rows = []
+    for nv in range(1, args.max_views + 1):
+        spec = get_codec_model(args.codec if "MCVC" in args.codec else "MCVC-IA",
+                               num_views=nv)
+        gop = jax.random.uniform(key, (args.gop, nv, 256, 256, 3))
+        mask = jnp.ones((nv,))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": key}, gop[:2], mask
+        )
+        jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
+        out, m = jroll(params, gop, mask=mask)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out, m = jroll(params, gop, mask=mask)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        spf = dt / args.gop
+        rows.append((nv, spf))
+        print(f"views={nv}: {spf*1e3:.2f} ms/frame ({1/spf:.1f} fps)", flush=True)
+    with open(f"{args.codec}.speed.log", "a") as f:
+        for nv, spf in rows:
+            f.write(f"{nv},{spf:.6f}\n")
+
+
+def x26x_multicam(args):
+    """x26x anchor side-by-side on the multiview dataset: stitches views per
+    --frame-comb layout, codes with ffmpeg, appends 'cat,lvl,bpp,psnr,ssim'
+    lines to {codec}.avg.log (reference train_multiview.py:345-390)."""
+    from fastvideocodec_tpu.anchors import (
+        compress_whole_video,
+        have_ffmpeg,
+        multiview_frame_layout,
+    )
+
+    if not have_ffmpeg():
+        raise SystemExit("ffmpeg not available for x26x anchors")
+    ds = MultiViewVideoDataset(
+        args.dataset_dir, args.category, gop_size=args.gop, split="test"
+    )
+    clip = np.stack([np.asarray(ds[i]) for i in range(min(2, len(ds)))])
+    clip = clip.reshape((-1,) + clip.shape[2:])  # [F, V, H, W, 3]
+    frames, gop_eff = multiview_frame_layout(clip, args.frame_comb,
+                                             gop=args.gop)
+    name = "x264" if "264" in args.codec else "x265"
+    psnrs, bpp, enc_t, dec_t = compress_whole_video(name, frames, args.Q,
+                                                    gop=gop_eff)
+    psnr = float(np.mean(psnrs))
+    with open(f"{args.codec}.avg.log", "a") as f:
+        f.write(
+            f"{args.category},{args.compression_level},{bpp:.4f},{psnr:.4f},0.0\n"
+        )
+    print(f"x26x cat {args.category}: bpp {bpp:.4f} psnr {psnr:.2f} "
+          f"(enc {enc_t*1e3:.1f} / dec {dec_t*1e3:.1f} ms/frame)")
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.task == "speed":
+        return speed_test(args)
+    if args.task == "x26x":
+        return x26x_multicam(args)
     train_ds = MultiViewVideoDataset(
         args.dataset_dir, args.category, gop_size=args.gop, split="train",
         c2s_ratio=args.c2s_ratio, sample_interval=args.sample_interval,
@@ -96,6 +172,17 @@ def main(argv=None):
 
     jstep = jax.jit(step_fn)
     jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
+
+    if olft and args.probe_bw_limit > 0:
+        from fastvideocodec_tpu.train.olft import probe_sample_interval
+
+        interval = probe_sample_interval(
+            spec, params, train_ds, args.sample_ratio, args.probe_bw_limit,
+            rng=host_rng,
+        )
+        train_ds.sample_interval = interval
+        print(f"bandwidth probe: sample_interval={interval} "
+              f"(budget {args.probe_bw_limit/1e6:.2f} Mbps)")
 
     psnr_m, bpp_m, touch_m = AverageMeter(), AverageMeter(), AverageMeter()
     progress_log = f"{args.codec}.{train_ds.category}.log"

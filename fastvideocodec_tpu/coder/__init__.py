@@ -11,10 +11,12 @@ coder call per tensor regardless of batch).
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import subprocess
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -65,6 +67,40 @@ def _i32(a):
     return np.ascontiguousarray(a, dtype=np.int32)
 
 
+# --- AC-time accounting -----------------------------------------------------
+# The reference's compress_slow/decompress_slow report network time and
+# arithmetic-coding time separately (entropy_models.py:97-148). Every range-
+# coder invocation below adds its wall-clock to the active measure_ac_time()
+# scope, so any compress/decompress path gets an honest net-vs-AC split
+# without threading timers through each codec. The accumulator is process-
+# global (NOT thread-local): AsyncCoder runs the coder on pool threads, and
+# their time must land in the scope opened by the dispatching thread.
+
+_AC_ACC = {"acc": None}
+_ac_lock = threading.Lock()
+
+
+@contextlib.contextmanager
+def measure_ac_time():
+    """Context manager yielding a dict whose 'seconds' accumulates the time
+    spent inside the C++ range coder while the scope is active (including
+    on AsyncCoder worker threads)."""
+    acc = {"seconds": 0.0}
+    prev = _AC_ACC["acc"]
+    _AC_ACC["acc"] = acc
+    try:
+        yield acc
+    finally:
+        _AC_ACC["acc"] = prev
+
+
+def _ac_tick(dt: float):
+    acc = _AC_ACC["acc"]
+    if acc is not None:
+        with _ac_lock:
+            acc["seconds"] += dt
+
+
 def encode_with_indexes(
     symbols: np.ndarray,
     indexes: np.ndarray,
@@ -84,6 +120,7 @@ def encode_with_indexes(
     n = symbols.size
     cap = max(n * 6 + 1024, 4096)
     out = np.empty(cap, dtype=np.uint8)
+    t0 = time.perf_counter()
     written = lib.rc_encode_with_indexes(
         symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -95,6 +132,7 @@ def encode_with_indexes(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
     )
+    _ac_tick(time.perf_counter() - t0)
     if written < 0:
         raise RuntimeError("range coder output buffer too small")
     return out[:written].tobytes()
@@ -118,6 +156,7 @@ def decode_with_indexes(
     n = indexes.size
     out = np.empty(n, dtype=np.int32)
     buf = np.frombuffer(data, dtype=np.uint8)
+    t0 = time.perf_counter()
     lib.rc_decode_with_indexes(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         buf.size,
@@ -129,16 +168,23 @@ def decode_with_indexes(
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    _ac_tick(time.perf_counter() - t0)
     return out.reshape(shape)
 
 
 class AsyncCoder:
     """Small host thread pool so entropy coding overlaps device compute
     (SURVEY.md §7 'Serial entropy coding vs TPU'). Submit per-GOP encode
-    jobs; futures resolve to bitstreams."""
+    jobs; futures resolve to bitstreams. coder.video's lsvc_compress codes
+    tree layer k's symbols while the device reconstructs layer k+1."""
 
     def __init__(self, workers: int = 2):
         self.pool = ThreadPoolExecutor(max_workers=workers)
+
+    def submit(self, fn, *args, **kwargs):
+        """Run any host-side codec call (e.g. LaplaceCodec.compress) off
+        the dispatch thread."""
+        return self.pool.submit(fn, *args, **kwargs)
 
     def submit_encode(self, *args, **kwargs):
         return self.pool.submit(encode_with_indexes, *args, **kwargs)

@@ -12,9 +12,11 @@ decode:  the mirror image — decode mv, then per layer decode z -> sigma ->
          features -> synthesize + MC.
 
 The decoder consumes ONLY (I-frame, bitstreams), so `decode == encode recon`
-is the correctness invariant (reference entropy test, SURVEY.md §4). Host
-coding of layer k+1 can overlap device compute of layer k via
-coder.AsyncCoder; this function keeps it synchronous for clarity.
+is the correctness invariant (reference entropy test, SURVEY.md §4). The
+encoder's host coding runs on coder.AsyncCoder threads: the device-side
+tree recursion never waits on the range coder (layer k's symbols encode
+while layer k+1 reconstructs), since reconstructions depend on quantized
+latents, not on their bitstreams.
 """
 
 from __future__ import annotations
@@ -27,7 +29,12 @@ import numpy as np
 
 from fastvideocodec_tpu.coder.service import BitEstimatorCodec, LaplaceCodec
 from fastvideocodec_tpu.models.registry import CodecSpec
-from fastvideocodec_tpu.ops.warp import exact_warp
+from fastvideocodec_tpu.ops.warp import (
+    avg_pool2,
+    depth_to_space,
+    exact_warp,
+    space_to_depth,
+)
 
 
 def _exact_warp_semantics(fn):
@@ -66,18 +73,30 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
     sched = module.schedule(bs)
     mv_codec, z_codec, feat_codec = _codecs_from_params(params)
 
+    # the TPU s2d config codes in the space-to-depth domain; flow comes
+    # from the avg-pooled RGB pyramid (models/lsvc.py docstring)
+    s2d = getattr(module, "s2d", 1)
+    gop_flow = avg_pool2(gop) if s2d > 1 else gop
+    if s2d > 1:
+        gop = space_to_depth(gop, s2d)
+
     target = gop[1:]
-    ref_raw = gop[jnp.asarray(sched.ref_index)]
 
     mv_latent = _apply(
-        spec, params, lambda m, t, r: m.mv_encoder(m.optic_flow(t, r)), target, ref_raw
+        spec, params, lambda m, t, r: m.mv_encoder(m.optic_flow(t, r)),
+        gop_flow[1:], gop_flow[jnp.asarray(sched.ref_index)],
     )
     mv_q = jnp.round(mv_latent)
-    mv_stream = mv_codec.compress(np.asarray(mv_q))
+    # host coding overlaps the device tree recursion: recon depends on the
+    # quantized latents only, never on the bytes
+    from fastvideocodec_tpu.coder import AsyncCoder
+
+    coder = AsyncCoder(workers=2)
+    mv_future = coder.submit(mv_codec.compress, np.asarray(mv_q))
     mv_hat = _apply(spec, params, lambda m, q: m.mv_decoder(q), mv_q)
 
     com = [None] * bs
-    z_streams, feat_streams = [], []
+    z_futures, feat_futures = [], []
     z_shapes, feat_shapes = [], []
     for layer in sched.layers:
         refs = [gop[0] if sched.parents[f] == 0 else com[sched.parents[f] - 1] for f in layer]
@@ -90,12 +109,12 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
         feature = _apply(spec, params, lambda m, x: m.res_encoder(x), res)
         z = _apply(spec, params, lambda m, f: m.prior_encoder(f), feature)
         z_q = jnp.round(z)
-        z_streams.append(z_codec.compress(np.asarray(z_q)))
+        z_futures.append(coder.submit(z_codec.compress, np.asarray(z_q)))
         z_shapes.append(tuple(z_q.shape))
         sigma = _apply(spec, params, lambda m, zq: m.prior_decoder(zq), z_q)
         feat_q = jnp.round(feature)
-        feat_streams.append(
-            feat_codec.compress(np.asarray(feat_q), np.asarray(sigma))
+        feat_futures.append(
+            coder.submit(feat_codec.compress, np.asarray(feat_q), np.asarray(sigma))
         )
         feat_shapes.append(tuple(feat_q.shape))
         res_hat = _apply(spec, params, lambda m, fq: m.res_decoder(fq), feat_q)
@@ -104,6 +123,12 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
             com[f - 1] = com_frames[i]
 
     recon = jnp.stack(com)
+    if s2d > 1:
+        recon = depth_to_space(recon, s2d)
+    mv_stream = mv_future.result()
+    z_streams = [f.result() for f in z_futures]
+    feat_streams = [f.result() for f in feat_futures]
+    coder.shutdown()
     streams = {
         "mv": mv_stream,
         "mv_shape": tuple(mv_q.shape),
@@ -126,6 +151,10 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
     module = spec.module
     sched = module.schedule(num_p_frames)
     mv_codec, z_codec, feat_codec = _codecs_from_params(params)
+
+    s2d = getattr(module, "s2d", 1)
+    if s2d > 1:
+        iframe = space_to_depth(iframe[None], s2d)[0]
 
     mv_q = jnp.asarray(
         mv_codec.decompress(streams["mv"], streams["mv_shape"])
@@ -151,7 +180,10 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
         com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
         for i, f in enumerate(layer):
             com[f - 1] = com_frames[i]
-    return jnp.stack(com)
+    out = jnp.stack(com)
+    if s2d > 1:
+        out = depth_to_space(out, s2d)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -164,12 +196,16 @@ class HyperpriorCoder:
     models.py:1958-1999): z via the factorized bottleneck tables, y via the
     scale-table Gaussian coder with decoded (scales, means)."""
 
-    def __init__(self, spec, params, name: str):
+    def __init__(self, spec, params, name: str, sp: bool = False):
         from fastvideocodec_tpu.coder.service import FactorizedCodec, GaussianCodec
 
         self.spec = spec
         self.params = params
         self.name = name
+        # sp: the hyperprior's SPnet actively replaces y_hat (ELFVC-SP with
+        # the stage enabling this branch — models.py:1988-1997); requires
+        # the y_predictor params to exist
+        self.sp = sp and "y_predictor" in params["params"][name]
         p = params["params"][name]["bottleneck"]
         self.z_codec = FactorizedCodec({k: np.asarray(v) for k, v in p.items()})
         self.y_codec = GaussianCodec()
@@ -182,30 +218,59 @@ class HyperpriorCoder:
 
         return m.apply(self.params, *args, method=call)
 
-    def compress(self, y):
+    def _means_scales(self, z_hat, y_shape):
+        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
+        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
+        # the 3x stride-2 hyper decoder emits 8*ceil(y/8) pixels; crop to y
+        scales = scales[:, : y_shape[1], : y_shape[2], :]
+        means = means[:, : y_shape[1], : y_shape[2], :]
+        return means, scales
+
+    def _sp_predict(self, round_y, q_y_prior, means):
+        """Decoder-side super-precision: y = SPnet(round_y, prior) + round_y
+        + means (reference models.py:1988-1997). Both encoder and decoder
+        run this from DECODED symbols, so the stream stays consistent."""
+        pred = self._sub(
+            lambda hp, ri: hp.y_predictor(ri),
+            jnp.concatenate([round_y, q_y_prior], axis=-1),
+        )
+        return pred + round_y + means
+
+    def compress(self, y, q_y_prior=None):
+        """Returns (streams, y_out, new_q_y_prior). When the hyperprior has
+        an active SPnet (ELFVC-SP), y_out is the SP-corrected y the decoder
+        will reproduce and q_y_prior must carry round(y - means) frames."""
         z = self._sub(lambda hp, yy: hp.hyper_encoder(yy), y)
         z_stream = self.z_codec.compress(np.asarray(z))
         z_hat = jnp.asarray(self.z_codec.decompress(z_stream, z.shape))
-        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
-        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
-        scales = scales[:, : y.shape[1], : y.shape[2], :]
-        means = means[:, : y.shape[1], : y.shape[2], :]
+        means, scales = self._means_scales(z_hat, y.shape)
         y_stream = self.y_codec.compress(
             np.asarray(y), np.asarray(scales), np.asarray(means)
         )
-        y_hat = jnp.round(y - means) + means
-        return {"z": z_stream, "y": y_stream, "z_shape": tuple(z.shape)}, y_hat
+        round_y = jnp.round(y - means)
+        y_out, new_prior = self._finish(round_y, means, q_y_prior)
+        return (
+            {"z": z_stream, "y": y_stream, "z_shape": tuple(z.shape)},
+            y_out,
+            new_prior,
+        )
 
-    def decompress(self, streams, y_shape):
+    def decompress(self, streams, y_shape, q_y_prior=None):
         z_hat = jnp.asarray(self.z_codec.decompress(streams["z"], streams["z_shape"]))
-        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
-        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
-        scales = scales[:, : y_shape[1], : y_shape[2], :]
-        means = means[:, : y_shape[1], : y_shape[2], :]
+        means, scales = self._means_scales(z_hat, y_shape)
         y_hat = jnp.asarray(
             self.y_codec.decompress(streams["y"], np.asarray(scales), np.asarray(means))
         ).reshape(y_shape)
-        return y_hat
+        round_y = y_hat - means
+        y_out, new_prior = self._finish(round_y, means, q_y_prior)
+        return y_out, new_prior
+
+    def _finish(self, round_y, means, q_y_prior):
+        if self.sp:
+            if q_y_prior is None:
+                q_y_prior = jnp.zeros_like(round_y)
+            return self._sp_predict(round_y, q_y_prior, means), round_y
+        return round_y + means, round_y
 
 
 @_exact_warp_semantics
@@ -220,7 +285,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
 
     y0 = m.apply(params, gop[0], method=lambda mod, x: mod.img_encoder(x))
-    key_streams, y0_hat = img_hp.compress(y0)
+    key_streams, y0_hat, _ = img_hp.compress(y0)
     x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
 
     frames = [x_ref]
@@ -231,7 +296,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
             params, jnp.concatenate([x_cur, x_ref], axis=-1),
             method=lambda mod, x: mod.motion_encoder(x),
         )
-        mot_s, y_mot_hat = mot_hp.compress(y_mot)
+        mot_s, y_mot_hat, _ = mot_hp.compress(y_mot)
         x_pred = m.apply(
             params, x_ref, y_mot_hat,
             method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
@@ -239,7 +304,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
         y_res = m.apply(
             params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
         )
-        res_s, y_res_hat = res_hp.compress(y_res)
+        res_s, y_res_hat, _ = res_hp.compress(y_res)
         x_ref = x_pred + m.apply(
             params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
             method=lambda mod, y: mod.res_decoder(y),
@@ -268,22 +333,282 @@ def ssf_decompress_gop(spec: CodecSpec, params, streams: dict):
     mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
 
-    y0_hat = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
+    y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
     x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
     frames = [x_ref]
     for s in streams["inter"]:
-        y_mot_hat = mot_hp.decompress(s["motion"], s["y_mot_shape"])
+        y_mot_hat, _ = mot_hp.decompress(s["motion"], s["y_mot_shape"])
         x_pred = m.apply(
             params, x_ref, y_mot_hat,
             method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
         )
-        y_res_hat = res_hp.decompress(s["residual"], s["y_res_shape"])
+        y_res_hat, _ = res_hp.decompress(s["residual"], s["y_res_shape"])
         x_ref = x_pred + m.apply(
             params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
             method=lambda mod, y: mod.res_decoder(y),
         )
         frames.append(x_ref)
     return jnp.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# ELFVC real bitstreams: flow-predictor delta-motion chain (+SP)
+# ---------------------------------------------------------------------------
+
+
+@_exact_warp_semantics
+def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
+    """ELFVC/ELFVC-SP real-bitstream encode (reference models.py:2087-2097):
+    the flow predictor runs on DECODED context (x_ref, x_ref_ref, motion
+    prior), so the codec transmits only the motion delta; with -SP the
+    hyperpriors' SPnets re-predict y from decoded symbols on both sides.
+
+    gop: [T, B, H, W, 3]. Returns (streams, recon, total_bits)."""
+    m = spec.module
+    sp1 = m.super_prec and m.sp_stage >= 1
+    sp2 = m.super_prec and m.sp_stage >= 2
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1)
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2)
+
+    y0 = m.apply(params, gop[0], method=lambda mod, x: mod.img_encoder(x))
+    key_streams, y0_hat, _ = img_hp.compress(y0)
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+
+    B, H, W = x_ref.shape[0], x_ref.shape[1], x_ref.shape[2]
+    state = m.init_state(B, H, W)
+    qpm, qpr = None, None  # SP round-y priors (zeros on first P-frame)
+
+    frames = [x_ref]
+    inter_streams = []
+    for t in range(1, gop.shape[0]):
+        x_cur = gop[t]
+        motion_info_local = m.apply(
+            params,
+            jnp.concatenate(
+                [x_ref, state.x_ref_ref, state.motion_info_prior], axis=-1
+            ),
+            method=lambda mod, x: mod.flow_predictor(x),
+        )
+        x_pred_local = m.apply(
+            params, x_ref, motion_info_local,
+            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
+        )
+        y_motion = m.apply(
+            params, jnp.concatenate([x_cur, x_pred_local], axis=-1),
+            method=lambda mod, x: mod.motion_encoder(x),
+        )
+        mot_s, y_mot_out, qpm = mot_hp.compress(y_motion, q_y_prior=qpm)
+        motion_delta = m.apply(
+            params, y_mot_out, method=lambda mod, y: mod.motion_decoder(y)
+        )
+        motion_info = state.motion_info_prior + motion_delta
+        x_pred = m.apply(
+            params, x_ref, motion_info,
+            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
+        )
+        y_res = m.apply(
+            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
+        )
+        res_s, y_res_out, qpr = res_hp.compress(y_res, q_y_prior=qpr)
+        x_rec = x_pred + m.apply(
+            params, jnp.concatenate([y_res_out, y_mot_out], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        state = state._replace(x_ref_ref=x_ref, motion_info_prior=motion_info)
+        x_ref = x_rec
+        frames.append(x_ref)
+        inter_streams.append(
+            {"motion": mot_s, "residual": res_s,
+             "y_mot_shape": tuple(y_motion.shape),
+             "y_res_shape": tuple(y_res.shape)}
+        )
+    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+               "inter": inter_streams}
+    bits = 8 * (
+        len(key_streams["z"]) + len(key_streams["y"])
+        + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
+              + len(s["residual"]["z"]) + len(s["residual"]["y"])
+              for s in inter_streams)
+    )
+    return streams, jnp.stack(frames), bits
+
+
+@_exact_warp_semantics
+def elfvc_decompress_gop(spec: CodecSpec, params, streams: dict):
+    """Reconstructs the whole GOP from bitstreams only (the flow-predictor
+    context and SP priors are all derived from decoded data)."""
+    m = spec.module
+    sp1 = m.super_prec and m.sp_stage >= 1
+    sp2 = m.super_prec and m.sp_stage >= 2
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1)
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2)
+
+    y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    B, H, W = x_ref.shape[0], x_ref.shape[1], x_ref.shape[2]
+    state = m.init_state(B, H, W)
+    qpm, qpr = None, None
+
+    frames = [x_ref]
+    for s in streams["inter"]:
+        # the flow predictor only conditions the ENCODER's motion analysis;
+        # the decoder needs just prior + transmitted delta (models.py:2095)
+        y_mot_out, qpm = mot_hp.decompress(s["motion"], s["y_mot_shape"], q_y_prior=qpm)
+        motion_delta = m.apply(
+            params, y_mot_out, method=lambda mod, y: mod.motion_decoder(y)
+        )
+        motion_info = state.motion_info_prior + motion_delta
+        x_pred = m.apply(
+            params, x_ref, motion_info,
+            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
+        )
+        y_res_out, qpr = res_hp.decompress(s["residual"], s["y_res_shape"], q_y_prior=qpr)
+        x_rec = x_pred + m.apply(
+            params, jnp.concatenate([y_res_out, y_mot_out], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        state = state._replace(x_ref_ref=x_ref, motion_info_prior=motion_info)
+        x_ref = x_rec
+        frames.append(x_ref)
+    return jnp.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# MCVC real bitstreams: masked-view joint coding + backup-decoder enhance
+# ---------------------------------------------------------------------------
+
+
+@_exact_warp_semantics
+def mcvc_compress_gop(spec: CodecSpec, params, gop: jax.Array, mask):
+    """MCVC(-IA) real-bitstream encode (reference models.py:2354-2400):
+    failed views are zero-masked before analysis, the joint latents are
+    coded once for all views (views folded into batch), and for -IA the
+    backup cross-view-attention decoders reconstruct lost views from the
+    surviving views' MASKED latents.
+
+    gop: [T, B*V, H, W, 3]; mask: [B*V] of {0,1} (transmitted metadata —
+    the receiver knows which views failed). Returns
+    (streams, enhanced recon [T, ...], total_bits)."""
+    from fastvideocodec_tpu.models.mcvc import mask_views
+
+    m = spec.module
+    ia = m.imbalanced_correlation
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+    mask = jnp.asarray(mask)
+
+    x0 = mask_views(gop[0], mask)
+    y0 = m.apply(params, x0, method=lambda mod, x: mod.img_encoder(x))
+    key_streams, y0_hat, _ = img_hp.compress(y0)
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    if ia:
+        x_enh = m.apply(
+            params, mask_views(y0_hat, mask),
+            method=lambda mod, y: mod.backup_img_decoder(y),
+        )
+    else:
+        x_enh = x_ref
+
+    recons = [x_enh]
+    inter_streams = []
+    for t in range(1, gop.shape[0]):
+        x_cur = mask_views(gop[t], mask)
+        x_ref_m = mask_views(x_ref, mask)
+        y_motion = m.apply(
+            params, jnp.concatenate([x_cur, x_ref_m], axis=-1),
+            method=lambda mod, x: mod.motion_encoder(x),
+        )
+        mot_s, y_mot_hat, _ = mot_hp.compress(y_motion)
+        x_pred = m.apply(
+            params, x_ref_m, y_mot_hat,
+            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
+        )
+        y_res = m.apply(
+            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
+        )
+        res_s, y_res_hat, _ = res_hp.compress(y_res)
+        x_rec = x_pred + m.apply(
+            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        if ia:
+            ym = mask_views(y_mot_hat, mask)
+            yr = mask_views(y_res_hat, mask)
+            x_enh = x_pred + m.apply(
+                params, jnp.concatenate([yr, ym], axis=-1),
+                method=lambda mod, y: mod.backup_res_decoder(y),
+            )
+        else:
+            x_enh = x_rec
+        recons.append(x_enh)
+        x_ref = x_rec
+        inter_streams.append(
+            {"motion": mot_s, "residual": res_s,
+             "y_mot_shape": tuple(y_motion.shape),
+             "y_res_shape": tuple(y_res.shape)}
+        )
+    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+               "inter": inter_streams, "mask": np.asarray(mask).tolist()}
+    bits = 8 * (
+        len(key_streams["z"]) + len(key_streams["y"])
+        + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
+              + len(s["residual"]["z"]) + len(s["residual"]["y"])
+              for s in inter_streams)
+    )
+    return streams, jnp.stack(recons), bits
+
+
+@_exact_warp_semantics
+def mcvc_decompress_gop(spec: CodecSpec, params, streams: dict):
+    """Reconstructs the enhanced (backup-decoded for -IA) GOP from
+    bitstreams + the transmitted view mask only."""
+    from fastvideocodec_tpu.models.mcvc import mask_views
+
+    m = spec.module
+    ia = m.imbalanced_correlation
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+    mask = jnp.asarray(streams["mask"], jnp.float32)
+
+    y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
+    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    if ia:
+        x_enh = m.apply(
+            params, mask_views(y0_hat, mask),
+            method=lambda mod, y: mod.backup_img_decoder(y),
+        )
+    else:
+        x_enh = x_ref
+
+    recons = [x_enh]
+    for s in streams["inter"]:
+        x_ref_m = mask_views(x_ref, mask)
+        y_mot_hat, _ = mot_hp.decompress(s["motion"], s["y_mot_shape"])
+        x_pred = m.apply(
+            params, x_ref_m, y_mot_hat,
+            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
+        )
+        y_res_hat, _ = res_hp.decompress(s["residual"], s["y_res_shape"])
+        x_rec = x_pred + m.apply(
+            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
+            method=lambda mod, y: mod.res_decoder(y),
+        )
+        if ia:
+            ym = mask_views(y_mot_hat, mask)
+            yr = mask_views(y_res_hat, mask)
+            x_enh = x_pred + m.apply(
+                params, jnp.concatenate([yr, ym], axis=-1),
+                method=lambda mod, y: mod.backup_res_decoder(y),
+            )
+        else:
+            x_enh = x_rec
+        recons.append(x_enh)
+        x_ref = x_rec
+    return jnp.stack(recons)
 
 
 # ---------------------------------------------------------------------------

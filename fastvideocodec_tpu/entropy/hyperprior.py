@@ -31,7 +31,12 @@ def _conv3(feats, dtype):
 
 
 class MeanScaleHyperPriors(nn.Module):
-    """x -> (x_hat, (x_likelihood, z_likelihood), sigma, mu)."""
+    """x -> (x_hat, (x_likelihood, z_likelihood), sigma, mu).
+
+    Library-level capability mirroring the reference exactly: there too,
+    MeanScaleHyperPriors is defined (entropy_models.py:150) and exercised
+    only by the entropy self-test (entropy_models.py:385) — no codec
+    instantiates it. Covered here by tests/test_entropy.py."""
 
     channels: int = 128
     dtype: jnp.dtype = jnp.float32

@@ -160,7 +160,11 @@ def lsvc_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
 
 
 def mcvc_gop(spec: CodecSpec, params, gop, mask, training: bool, rng=None):
-    """MCVC: whole-GOP call; gop [T, B*V, H, W, 3], mask [B*V]."""
+    """MCVC: whole-GOP call; gop [T, B*V, H, W, 3], mask [B*V].
+
+    Metrics follow the reference metrics_per_gop (train_multiview.py:161-210):
+    distortion is averaged over the ALIVE views only (`non_zero_indices`),
+    and `completeness` reports the surviving-view fraction."""
     recons, liks, refs = spec.module.apply(params, gop, mask, training=training, rng=rng)
     T = gop.shape[0]
     denom = gop.shape[1] * gop.shape[2] * gop.shape[3]
@@ -174,11 +178,18 @@ def mcvc_gop(spec: CodecSpec, params, gop, mask, training: bool, rng=None):
                 + _bits(lik["residual"]["y"]) + _bits(lik["residual"]["z"])
             )
         bpps.append(b / denom)
-    mse = jnp.mean((recons - gop) ** 2, axis=(1, 2, 3, 4))
+    if mask is None:
+        mask = jnp.ones((gop.shape[1],), gop.dtype)
+    alive = mask.astype(recons.dtype)
+    per_view = jnp.mean((recons - gop) ** 2, axis=(2, 3, 4))  # [T, B*V]
+    mse = jnp.sum(per_view * alive[None, :], axis=1) / jnp.maximum(
+        jnp.sum(alive), 1.0
+    )
     metrics = {
         "img_loss": mse,
         "psnr": _psnr_from_mse(mse),
         "bpp_est": jnp.stack(bpps),
+        "completeness": jnp.sum(alive) / alive.shape[0],
     }
     return recons, metrics
 

@@ -43,6 +43,65 @@ def code_iframe(frame: np.ndarray, i_level: int):
     return frame.copy(), 24.0, 10 * np.log10(1.0 / mse)
 
 
+def _real_bits_gop(spec: CodecSpec, params, gop: jnp.ndarray):
+    """Dispatch one GOP through the family's real-bitstream encode AND
+    decode (reference compress_slow/decompress_slow net-vs-AC accounting,
+    entropy_models.py:97-148). Returns
+    (p_recon [T-1, H, W, 3], key_recon or None, bits_act,
+     enc_t, dec_t, enc_ac_t, dec_ac_t)."""
+    from fastvideocodec_tpu.coder import measure_ac_time
+    from fastvideocodec_tpu.coder import video as cv
+    from fastvideocodec_tpu.utils.meters import StageTimers
+
+    T = gop.shape[0]
+    fam = spec.family
+    timers = StageTimers()
+    stage_name = {"enc": "E-NET", "dec": "D-NET"}
+    next_stage = ["enc"]
+
+    def timed(fn):
+        name = stage_name[next_stage[0]]
+        next_stage[0] = "dec"
+        with measure_ac_time() as acc:
+            with timers.stage(name):
+                out = fn()
+                jax.block_until_ready(out[0] if isinstance(out, tuple) else out)
+        dt = timers.meters[name].val
+        return out, dt, acc["seconds"]
+
+    if fam == "lsvc":
+        (streams, recon, bits), enc_t, enc_ac = timed(
+            lambda: cv.lsvc_compress(spec, params, gop)
+        )
+        dec, dec_t, dec_ac = timed(
+            lambda: cv.lsvc_decompress(spec, params, gop[0], streams, T - 1)
+        )
+        return np.asarray(dec), None, bits, enc_t, dec_t, enc_ac, dec_ac
+    if fam == "rlvc":
+        (streams, recon, bits, shapes), enc_t, enc_ac = timed(
+            lambda: cv.rlvc_compress_gop(spec, params, gop)
+        )
+        dec, dec_t, dec_ac = timed(
+            lambda: cv.rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
+        )
+        return np.asarray(dec)[:, 0], None, bits, enc_t, dec_t, enc_ac, dec_ac
+    if fam in ("ssf", "elfvc"):
+        g5 = gop[:, None]
+        compress = (
+            cv.elfvc_compress_gop if fam == "elfvc" else cv.ssf_compress_gop
+        )
+        decompress = (
+            cv.elfvc_decompress_gop if fam == "elfvc" else cv.ssf_decompress_gop
+        )
+        (streams, recon, bits), enc_t, enc_ac = timed(
+            lambda: compress(spec, params, g5)
+        )
+        dec, dec_t, dec_ac = timed(lambda: decompress(spec, params, streams))
+        dec = np.asarray(dec)[:, 0]
+        return dec[1:], dec[0], bits, enc_t, dec_t, enc_ac, dec_ac
+    raise ValueError(f"no real-bitstream path for family '{fam}'")
+
+
 def evaluate_video(
     spec: CodecSpec,
     params,
@@ -52,18 +111,32 @@ def evaluate_video(
     level: int = 0,
     compress_iframe: bool = True,
     max_gops: int = 0,
+    real_bits: bool = False,
 ):
     """Runs the whole dataset; returns dict of aggregates. Appends one
-    2-line record per video to log_path when eof is reached."""
+    2-line record per video to log_path when eof is reached.
+
+    real_bits=True drives the family's actual bitstream encode AND decode:
+    bpp becomes bpp_act (coded bytes), enc_t/dec_t are genuinely separate,
+    and the log's aux fields carry the net-vs-AC split
+    (aux = enc_ac_t, dec_ac_t, bpp_est) — reference eval.py:332-337."""
     jit_rollout = jax.jit(
         partial(rollout, spec, training=False, rng=None)
     )
     bpp_meter = AverageMeter()
+    bpp_est_meter = AverageMeter()
     psnr_meter = AverageMeter()
     enc_meter = AverageMeter()
+    dec_meter = AverageMeter()
+    enc_ac_meter = AverageMeter()
+    dec_ac_meter = AverageMeter()
     all_psnr: list[float] = []
     buf: list[np.ndarray] = []
     gops_done = 0
+    # SSF-family streams self-code the keyframe (neural I-branch); BPG
+    # would double-code frame 0
+    if real_bits and spec.family in ("ssf", "elfvc"):
+        compress_iframe = False
 
     n = len(dataset)
     for idx in range(n):
@@ -84,37 +157,69 @@ def evaluate_video(
             psnr_meter.update(i_psnr)
             all_psnr.append(i_psnr)
         padded, (h, w) = pad_to_multiple(gop, 64)
+        # estimated-bits rollout (runs in both modes: bpp_est is logged as
+        # an aux field next to bpp_act so drift is visible)
         t0 = time.perf_counter()
         x_hat, metrics = jit_rollout(params, jnp.asarray(padded))
         jax.block_until_ready(x_hat)
         dt = time.perf_counter() - t0
-        enc_meter.update(dt / (T - 1), T - 1)
+        scale = (padded.shape[-3] * padded.shape[-2]) / (h * w)
+        bpps = np.asarray(metrics.get("bpp_est", metrics.get("bpp")))
+        bpp_est_meter.update(float(np.mean(bpps)) * scale, T - 1)
 
-        x_hat = np.asarray(x_hat)
-        if x_hat.ndim == 5:  # [T-1, B=1, H, W, C]
-            x_hat = x_hat[:, 0]
-        x_hat = x_hat[:, :h, :w]
+        if real_bits:
+            p_rec, key_rec, bits, enc_t, dec_t, enc_ac, dec_ac = _real_bits_gop(
+                spec, params, jnp.asarray(padded)
+            )
+            x_hat = p_rec[:, :h, :w]
+            if key_rec is not None:
+                kmse = np.mean((key_rec[:h, :w] - gop[0]) ** 2)
+                kp = 10 * np.log10(1.0 / max(float(kmse), 1e-12))
+                all_psnr.append(kp)
+                psnr_meter.update(kp)
+            bpp_meter.update(bits / ((T - 1) * h * w), T - 1)
+            enc_meter.update(enc_t / (T - 1), T - 1)
+            dec_meter.update(dec_t / (T - 1), T - 1)
+            enc_ac_meter.update(enc_ac / (T - 1), T - 1)
+            dec_ac_meter.update(dec_ac / (T - 1), T - 1)
+        else:
+            enc_meter.update(dt / (T - 1), T - 1)
+            dec_meter.update(dt / (T - 1), T - 1)
+            x_hat = np.asarray(x_hat)
+            if x_hat.ndim == 5:  # [T-1, B=1, H, W, C]
+                x_hat = x_hat[:, 0]
+            x_hat = x_hat[:, :h, :w]
+            bpp_meter.update(float(np.mean(bpps)) * scale, T - 1)
+
         for i in range(T - 1):
             mse = np.mean((x_hat[i] - gop[1 + i]) ** 2)
             p = 10 * np.log10(1.0 / max(mse, 1e-12))
             all_psnr.append(p)
             psnr_meter.update(p)
-        scale = (padded.shape[-3] * padded.shape[-2]) / (h * w)
-        bpps = np.asarray(metrics.get("bpp_est", metrics.get("bpp")))
-        bpp_meter.update(float(np.mean(bpps)) * scale, T - 1)
         gops_done += 1
 
         if eof and log_path:
+            aux = (
+                (enc_ac_meter.avg, dec_ac_meter.avg, bpp_est_meter.avg)
+                if real_bits
+                else ()
+            )
             write_eval_log(
-                log_path, level, bpp_meter.avg, enc_meter.avg, enc_meter.avg,
-                all_psnr,
+                log_path, level, bpp_meter.avg, enc_meter.avg, dec_meter.avg,
+                all_psnr, aux=aux,
             )
             all_psnr = []
         if max_gops and gops_done >= max_gops:
             break
 
-    return {
+    out = {
         "bpp": bpp_meter.avg,
+        "bpp_est": bpp_est_meter.avg,
         "psnr": psnr_meter.avg,
         "sec_per_frame": enc_meter.avg,
+        "dec_sec_per_frame": dec_meter.avg,
     }
+    if real_bits:
+        out["enc_ac_sec_per_frame"] = enc_ac_meter.avg
+        out["dec_ac_sec_per_frame"] = dec_ac_meter.avg
+    return out

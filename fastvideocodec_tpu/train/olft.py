@@ -39,3 +39,40 @@ def touchup_bits(recon: np.ndarray, label: np.ndarray, mask: np.ndarray,
         payload = deltas.tobytes() + np.packbits(mask.astype(np.uint8)).tobytes()
         return len(zlib.compress(payload))
     return len((label * 255.0).astype(np.uint8).tobytes())
+
+
+def probe_sample_interval(
+    spec,
+    params,
+    dataset,
+    sample_ratio: float,
+    bw_limit_bps: float,
+    fps: float = 30.0,
+    num_gops: int = 2,
+    rng=None,
+) -> int:
+    """Bandwidth probe (reference probe_sample_interval,
+    train_multiview.py:392-406): run a few GOPs of the OLFT touch-up path,
+    measure the touch-up data rate at sampling-every-frame, and return the
+    frame sampling interval that fits under `bw_limit_bps`."""
+    from functools import partial
+
+    from fastvideocodec_tpu.gop import rollout
+
+    rng = np.random.default_rng(0) if rng is None else rng
+    jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
+    jlabel = jax.jit(partial(touchup_labels, ratio=sample_ratio))
+    total_bits = 0
+    total_frames = 0
+    for g in range(num_gops):
+        idx = int(rng.integers(0, len(dataset)))
+        gop = jnp.asarray(dataset[idx])
+        mask = jnp.ones((gop.shape[1],))
+        recons, _ = jroll(params, gop, mask=mask)
+        labels, masks = jlabel(recons, gop)
+        total_bits += 8 * touchup_bits(
+            np.asarray(recons), np.asarray(labels), np.asarray(masks)
+        )
+        total_frames += gop.shape[0]
+    rate_bps = total_bits / max(total_frames, 1) * fps
+    return max(1, int(np.ceil(rate_bps / max(bw_limit_bps, 1.0))))

@@ -10,6 +10,7 @@ activations with f32 params/grads need no loss scaling.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
@@ -32,6 +33,7 @@ class TrainConfig:
     r_img: float = 1.0
     r_bpp: float = 1.0
     r_aux: float = 1.0
+    soft2hard: bool = False  # Base-ER s2h three-pass schedule (models.py:318-344)
 
 
 def _msssim_distortion(spec, x_hat, gop):
@@ -69,6 +71,27 @@ def gop_loss(spec: CodecSpec, params, gop, training, rng, cfg: TrainConfig,
         loss = jnp.sum(r * m["img_loss"])
         if not olft:
             loss = loss + jnp.sum(m["bpp_est"])
+    elif spec.family == "base":
+        loss = jnp.sum(r * m["img_loss"] + m["bpp_est"])
+        if getattr(spec.module, "use_er", False):
+            if training and cfg.soft2hard:
+                # soft2hard three-pass (reference models.py:318-344): per
+                # GOP, rerun with s2h_stage 1 (hard mv path) and 2 (hard
+                # everything, stop-grad MC); distortion = mean of the three
+                mses = [m["img_loss"]]
+                for stg in (1, 2):
+                    spec_s = dataclasses.replace(
+                        spec, module=spec.module.clone(s2h_stage=stg)
+                    )
+                    _, ms = rollout(
+                        spec_s, params, gop, training=True, rng=rng, mask=mask
+                    )
+                    mses.append(ms["img_loss"])
+                mse_avg = (mses[0] + mses[1] + mses[2]) / 3.0
+                loss = jnp.sum(r * mse_avg + m["bpp_est"])
+            # ER trains the error generators through the pred_err norm
+            # (reference err[1] added at models.py:336-338)
+            loss = loss + jnp.sum(m["pred_err"])
     else:
         loss = jnp.sum(r * m["img_loss"] + m["bpp_est"])
         if spec.family == "elfvc" and spec.module.super_prec:
@@ -90,12 +113,57 @@ def _is_quantile_path(path) -> bool:
     return any("quantile" in str(getattr(k, "key", k)) for k in path)
 
 
-def make_optimizer(cfg: TrainConfig, learning_rate=None) -> optax.GradientTransformation:
+# ELFVC staged-training parameter groups (reference optim_parameters,
+# models.py:2055-2075): which submodule subtrees receive updates per spstage.
+# Stage 0 warms up the SPnet predictors alone; stage 1 trains the motion SP
+# path + residual autoencoder; stage 2 fine-tunes the residual SPnet +
+# decoder. Any other stage trains everything.
+ELFVC_STAGE_PARAM_GROUPS = {
+    0: (
+        ("res_hyperprior", "y_predictor"),
+        ("motion_hyperprior", "y_predictor"),
+    ),
+    1: (
+        ("motion_hyperprior", "y_predictor"),
+        ("motion_decoder",),
+        ("res_encoder",),
+        ("res_decoder",),
+        ("res_hyperprior",),
+    ),
+    2: (
+        ("res_hyperprior", "y_predictor"),
+        ("res_decoder",),
+    ),
+}
+
+
+def elfvc_stage_trainable(sp_stage: int):
+    """Returns path-filter(path)->bool for the stage's trainable set, or
+    None when every parameter trains (reference 'Default stage')."""
+    groups = ELFVC_STAGE_PARAM_GROUPS.get(sp_stage)
+    if groups is None:
+        return None
+
+    def trainable(path) -> bool:
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        if keys and keys[0] == "params":  # variables-dict collection prefix
+            keys = keys[1:]
+        return any(keys[: len(g)] == g for g in groups)
+
+    return trainable
+
+
+def make_optimizer(
+    cfg: TrainConfig, learning_rate=None, trainable=None
+) -> optax.GradientTransformation:
     """Main Adam (scheduled lr) for model params + a dedicated Adam at
     cfg.aux_learning_rate for entropy-bottleneck `quantiles` params — the
     reference/compressai two-optimizer split (compressai configure_optimizers;
     the aux loss's gradient only reaches quantiles, so routing by param path
-    is exactly the '.quantiles' parameter group)."""
+    is exactly the '.quantiles' parameter group).
+
+    `trainable(path)->bool` freezes every parameter outside the filter
+    (zeroed updates) — the staged ELFVC recipes route through this."""
     lr = cfg.learning_rate if learning_rate is None else learning_rate
     main = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
@@ -106,11 +174,26 @@ def make_optimizer(cfg: TrainConfig, learning_rate=None) -> optax.GradientTransf
     aux = optax.adam(cfg.aux_learning_rate)
 
     def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "aux" if _is_quantile_path(path) else "main", params
-        )
+        def label(path, _):
+            if trainable is not None and not trainable(path):
+                return "frozen"
+            return "aux" if _is_quantile_path(path) else "main"
 
-    return optax.multi_transform({"main": main, "aux": aux}, label_fn)
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"main": main, "aux": aux, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def make_elfvc_stage_optimizer(
+    cfg: TrainConfig, sp_stage: int, learning_rate=None
+) -> optax.GradientTransformation:
+    """The spstage-keyed optimizer of the Vesper training recipe
+    (reference models.py:2026-2078)."""
+    return make_optimizer(
+        cfg, learning_rate=learning_rate, trainable=elfvc_stage_trainable(sp_stage)
+    )
 
 
 def make_train_step(

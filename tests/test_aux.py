@@ -166,3 +166,140 @@ class TestMsssimLoss:
         )
         loss, metrics = gop_loss(spec, params, gop, False, None, TrainConfig())
         assert np.isfinite(float(loss))
+
+
+class _FrameListDataset:
+    """Minimal dataset contract for evaluate_video: __getitem__ ->
+    (frame, eof)."""
+
+    def __init__(self, frames):
+        self.frames = frames
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i):
+        return self.frames[i], i == len(self.frames) - 1
+
+
+class TestRealBitsEvaluation:
+    def test_bpp_act_tracks_est_and_log_fields(self, tmp_path):
+        """VERDICT round-1 item 3: real-bitstream evaluation must measure
+        actual coded bits, genuinely separate enc/dec times, and a
+        net-vs-AC split (reference entropy_models.py:97-148 +
+        eval.py:332-337)."""
+        from functools import partial
+
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.train.evaluate import evaluate_video
+        from fastvideocodec_tpu.utils.logs import read_eval_log
+
+        spec = get_codec_model("LSVC-128")
+        rng = np.random.RandomState(0)
+        frames = [rng.rand(64, 64, 3).astype(np.float32) for _ in range(3)]
+        gop = jnp.asarray(np.stack(frames))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop
+        )
+        log = str(tmp_path / "LSVC-128.SYN.0.log")
+        stats = evaluate_video(
+            spec, params, _FrameListDataset(frames), gop_size=3,
+            log_path=log, level=2, compress_iframe=False, real_bits=True,
+        )
+        assert stats["bpp"] > 0
+        # random-init model: actual bits track the (clamped) estimate within
+        # a loose factor; trained models converge far closer
+        assert stats["bpp"] < 4 * stats["bpp_est"] + 1.0
+        assert stats["dec_sec_per_frame"] > 0
+        assert stats["enc_ac_sec_per_frame"] > 0
+        assert stats["dec_ac_sec_per_frame"] > 0
+        # AC time is a strict subset of the stage wall-clock
+        assert stats["enc_ac_sec_per_frame"] < stats["sec_per_frame"]
+        assert stats["dec_ac_sec_per_frame"] < stats["dec_sec_per_frame"]
+        (hdr, psnrs), = read_eval_log(log)
+        assert hdr["bpp"] > 0 and hdr["dec_t"] > 0
+        assert len(hdr["aux"]) == 3  # enc_ac, dec_ac, bpp_est
+        assert len(psnrs) == 2  # two P-frames
+
+
+class TestTraceSim:
+    def test_adaptive_level_selection_and_tails(self, tmp_path):
+        from fastvideocodec_tpu.analysis import read_avg_log, simulate_over_trace
+
+        # synthetic avg.log: 2 categories x 3 levels x 4 gop records
+        p = str(tmp_path / "X.avg.log")
+        with open(p, "w") as f:
+            for cat in range(2):
+                for lvl, bpp in enumerate((0.1, 0.2, 0.4)):
+                    for g in range(4):
+                        f.write(f"{cat},{lvl},{bpp},{30 + 2 * lvl},0.9\n")
+        table = read_avg_log(p)
+        assert set(table) == {0, 1} and set(table[0]) == {0, 1, 2}
+
+        pixels = 1000
+        views = 2
+        # budget allows exactly level 1 (0.2 bpp * 2 views * 1000 px = 400 bps)
+        res = simulate_over_trace(table[0], [400.0], views, pixels)
+        assert abs(res["bpp"] - 0.2) < 1e-9
+        assert abs(res["psnr"] - 32.0) < 1e-9
+        # huge budget picks the top level; tiny budget the bottom
+        assert abs(simulate_over_trace(table[0], [1e9], views, pixels)["bpp"] - 0.4) < 1e-9
+        assert abs(simulate_over_trace(table[0], [1.0], views, pixels)["bpp"] - 0.1) < 1e-9
+
+
+class TestOlftProbe:
+    def test_probe_interval_scales_with_budget(self):
+        from functools import partial
+
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.train.olft import probe_sample_interval
+
+        V = 2
+        spec = get_codec_model("MCVC-IA", num_views=V)
+        rng = np.random.RandomState(0)
+        gops = [rng.rand(3, V, 64, 64, 3).astype(np.float32) for _ in range(2)]
+
+        class DS:
+            def __len__(self):
+                return len(gops)
+
+            def __getitem__(self, i):
+                return gops[i]
+
+        mask = jnp.ones((V,))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, jnp.asarray(gops[0][:2]), mask
+        )
+        hi = probe_sample_interval(spec, params, DS(), 0.1, 1e12)
+        lo = probe_sample_interval(spec, params, DS(), 0.1, 1e3)
+        assert hi == 1          # huge budget: sample every frame
+        assert lo > hi          # tight budget: sparser sampling
+
+
+class TestMcvcCompleteness:
+    def test_completeness_and_alive_view_loss(self):
+        from functools import partial
+
+        from fastvideocodec_tpu.gop import rollout
+        from fastvideocodec_tpu.models import get_codec_model
+
+        V = 4
+        spec = get_codec_model("MCVC-IA", num_views=V)
+        gop = jax.random.uniform(KEY, (2, V, 32, 32, 3))
+        mask_full = jnp.ones((V,))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop, mask_full
+        )
+        _, m_full = jax.jit(
+            lambda p, g, mk: rollout(spec, p, g, training=False, rng=None, mask=mk)
+        )(params, gop, mask_full)
+        assert abs(float(m_full["completeness"]) - 1.0) < 1e-6
+
+        mask_fail = jnp.asarray([1.0, 0.0, 1.0, 1.0])
+        _, m_fail = jax.jit(
+            lambda p, g, mk: rollout(spec, p, g, training=False, rng=None, mask=mk)
+        )(params, gop, mask_fail)
+        assert abs(float(m_fail["completeness"]) - 0.75) < 1e-6
+        # distortion is averaged over ALIVE views only (metrics_per_gop,
+        # train_multiview.py:168-190) — finite either way
+        assert np.isfinite(np.asarray(m_fail["img_loss"])).all()

@@ -7,6 +7,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastvideocodec_tpu import ops
 from fastvideocodec_tpu.coder.service import (
@@ -98,6 +99,29 @@ class TestLsvcRealBitstream:
         assert bits < 4 * bits_est
 
 
+class TestLsvcTpuRealBitstream:
+    def test_encode_decode_identity(self):
+        """The TPU-native s2d config must keep decode == encode-recon: the
+        coder folds frames to the s2d domain, estimates flow on the pooled
+        RGB pyramid, and emits full-resolution frames."""
+        from fastvideocodec_tpu.coder.video import lsvc_compress, lsvc_decompress
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model("LSVC-TPU")
+        T, H, W = 3, 64, 128
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop
+        )
+        streams, recon_enc, bits = lsvc_compress(spec, params, gop)
+        assert recon_enc.shape == (T - 1, H, W, 3)
+        recon_dec = lsvc_decompress(spec, params, gop[0], streams, T - 1)
+        np.testing.assert_allclose(
+            np.asarray(recon_dec), np.asarray(recon_enc), atol=1e-5
+        )
+        assert bits > 0
+
+
 class TestSsfRealBitstream:
     def test_encode_decode_identity(self):
         from fastvideocodec_tpu.coder.video import ssf_compress_gop, ssf_decompress_gop
@@ -133,3 +157,52 @@ class TestRlvcRealBitstream:
         dec = rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
         np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
         assert bits > 0
+
+
+class TestElfvcRealBitstream:
+    @pytest.mark.parametrize("name,sp_stage", [("ELFVC", 1), ("ELFVC-SP", 2)])
+    def test_encode_decode_identity(self, name, sp_stage):
+        """Delta-motion chain (reference models.py:2087-2097): the decoder
+        reconstructs from (bitstreams, decoded context) only; with -SP both
+        sides re-run the SPnet on decoded symbols."""
+        from fastvideocodec_tpu.coder.video import (
+            elfvc_compress_gop,
+            elfvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model(name, sp_stage=sp_stage)
+        gop = jax.random.uniform(KEY, (3, 1, 128, 128, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[:2]
+        )
+        streams, recon, bits = elfvc_compress_gop(spec, params, gop)
+        dec = elfvc_decompress_gop(spec, params, streams)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
+        assert bits > 0
+
+
+class TestMcvcRealBitstream:
+    def test_encode_decode_identity_masked_views(self):
+        """Masked-view joint coding + backup cross-view-attention decode
+        (reference models.py:2354-2400): the receiver reproduces both the
+        reference chain and the enhanced frames from bitstreams + the
+        transmitted failed-view mask."""
+        from fastvideocodec_tpu.coder.video import (
+            mcvc_compress_gop,
+            mcvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+
+        V = 3
+        spec = get_codec_model("MCVC-IA", num_views=V)
+        gop = jax.random.uniform(KEY, (3, V, 64, 64, 3))
+        mask = jnp.asarray([1.0, 0.0, 1.0])  # middle view failed
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[:2], mask
+        )
+        streams, recon, bits = mcvc_compress_gop(spec, params, gop, mask)
+        dec = mcvc_decompress_gop(spec, params, streams)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
+        assert bits > 0
+        assert streams["mask"] == [1.0, 0.0, 1.0]

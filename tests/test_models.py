@@ -37,7 +37,7 @@ def _init(spec, gop, mask=None):
 
 
 class TestForward:
-    @pytest.mark.parametrize("name", ["DVC", "RLVC2", "LSVC-128"])
+    @pytest.mark.parametrize("name", ["DVC", "RLVC2", "LSVC-128", "LSVC-TPU"])
     def test_rollout_shapes_and_finite(self, name):
         spec = get_codec_model(name)
         gop = jax.random.uniform(KEY, (T, H, W, 3))
@@ -104,3 +104,75 @@ class TestTraining:
         )(params, gop)
         assert "pred_err_norm" in metrics
         assert np.isfinite(np.asarray(metrics["pred_err_norm"])).all()
+
+
+class TestStagedTraining:
+    """VERDICT round-1 item 5: the ELFVC spstage optimizer groups
+    (reference optim_parameters models.py:2026-2078) and the Base-ER
+    soft2hard three-pass schedule (models.py:318-344)."""
+
+    @pytest.mark.parametrize("sp_stage", [0, 1, 2])
+    def test_elfvc_stage_only_updates_stage_groups(self, sp_stage):
+        """Pure optimizer-masking check with well-conditioned gradients:
+        the stage's parameter groups get nonzero updates, everything else
+        exactly zero. (A full train step at random init is numerically
+        degenerate — the untrained SPnet's GroupNorm over near-constant
+        round(y) inputs explodes the global grad norm to ~1e30, and
+        clip_by_global_norm then underflows every update — so the masking
+        is asserted on synthetic unit gradients.)"""
+        from fastvideocodec_tpu.train import (
+            elfvc_stage_trainable,
+            make_elfvc_stage_optimizer,
+        )
+
+        spec = get_codec_model("ELFVC-SP", sp_stage=1)
+        gop = jax.random.uniform(KEY, (T, 1, H, W, 3))
+        params = _init(spec, gop[:, 0])
+        cfg = TrainConfig(learning_rate=1e-3)
+        tx = make_elfvc_stage_optimizer(cfg, sp_stage)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = jax.jit(tx.update)(grads, tx.init(params), params)
+
+        trainable = elfvc_stage_trainable(sp_stage)
+        moved, frozen_moved = 0.0, 0.0
+        for path, u in jax.tree_util.tree_flatten_with_path(updates)[0]:
+            d = float(jnp.abs(u).sum())
+            if trainable(path):
+                moved += d
+            else:
+                frozen_moved += d
+        assert moved > 0
+        assert frozen_moved == 0.0
+
+    def test_elfvc_stage1_train_step_runs(self):
+        from fastvideocodec_tpu.train import make_elfvc_stage_optimizer
+
+        spec = get_codec_model("ELFVC-SP", sp_stage=1)
+        gop = jax.random.uniform(KEY, (T, 1, H, W, 3))
+        params = _init(spec, gop[:, 0])
+        cfg = TrainConfig(learning_rate=1e-3)
+        tx = make_elfvc_stage_optimizer(cfg, 1)
+        init_fn, step_fn = make_train_step(spec, cfg, optimizer=tx)
+        p2, _, metrics = jax.jit(step_fn)(params, init_fn(params), gop, KEY)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_base_er_soft2hard_three_pass(self):
+        from fastvideocodec_tpu.train import gop_loss
+
+        spec = get_codec_model("Base-ER")
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        params = _init(spec, gop)
+        cfg_soft = TrainConfig(soft2hard=False)
+        cfg_s2h = TrainConfig(soft2hard=True)
+        l_soft, _ = jax.jit(
+            lambda p, g, r: gop_loss(spec, p, g, True, r, cfg_soft)
+        )(params, gop, KEY)
+        l_s2h, m = jax.jit(
+            lambda p, g, r: gop_loss(spec, p, g, True, r, cfg_s2h)
+        )(params, gop, KEY)
+        # the three-pass average runs the hard decode paths: loss differs
+        # from the single soft pass and stays finite
+        assert np.isfinite(float(l_s2h))
+        assert abs(float(l_s2h) - float(l_soft)) > 1e-8
+        # and ER pred_err contributes to both (err[1] term)
+        assert float(m["loss"]) == float(l_s2h)
