@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--real-bits", action="store_true",
                    help="drive the real bitstream encode+decode: bpp_act, "
                         "separate enc/dec times, net-vs-AC split in aux")
+    p.add_argument("--torch-ckpt", default="",
+                   help="DVC only: import a reference torch snapshot "
+                        "(DVC/snapshot/*.model) via utils.torch_import")
     return p.parse_args(argv)
 
 
@@ -81,12 +84,20 @@ def main(argv=None):
 
         params = init_params(spec, sample, key)
         ckpt = f"{args.ckpt_dir}/{args.codec}-{lvl}{spec.loss_type}"
-        try:
-            state = load_checkpoint(ckpt, {"params": params}, prefer_best=True)
-            params = state["params"]
-            print(f"loaded weights from {ckpt}")
-        except FileNotFoundError:
-            print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
+        if args.torch_ckpt:
+            from fastvideocodec_tpu.utils.torch_import import (
+                load_torch_dvc_checkpoint,
+            )
+
+            params = load_torch_dvc_checkpoint(args.torch_ckpt)
+            print(f"imported torch snapshot {args.torch_ckpt}")
+        else:
+            try:
+                state = load_checkpoint(ckpt, {"params": params}, prefer_best=True)
+                params = state["params"]
+                print(f"loaded weights from {ckpt}")
+            except FileNotFoundError:
+                print(f"WARNING: no checkpoint at {ckpt}; evaluating random init")
         log_path = f"{args.codec}.{args.dataset}.{args.evolve}.log"
         stats = evaluate_video(
             spec, params, ds, gop_size=gop, log_path=log_path, level=lvl,

@@ -53,15 +53,23 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug", action="store_true", help="exit after 10 batches")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frame-size", type=int, default=256)
     p.add_argument("--task", default="train",
-                   choices=["train", "speed", "x26x"],
+                   choices=["train", "speed", "x26x", "eval"],
                    help="speed: enc/dec fps vs view count "
                         "(train_multiview.py:535-552); x26x: anchor "
-                        "side-by-side writing {codec}.avg.log (:345-390)")
+                        "side-by-side writing {codec}.avg.log (:345-390); "
+                        "eval: multicam model eval per level writing "
+                        "{codec}.avg.log (:408-416)")
+    p.add_argument("--level-range", type=int, nargs=2, default=(0, 4))
     p.add_argument("--max-views", type=int, default=6, help="speed-test sweep")
     p.add_argument("--Q", type=int, default=27, help="x26x crf")
     p.add_argument("--frame-comb", type=int, default=0,
                    help="x26x multiview frame layout 0-3")
+    p.add_argument("--log-key", default="",
+                   help="extra log filename key (the reference's per-"
+                        "experiment log family: cat/c2s/sr/si/mps/dr/..., "
+                        "train_multiview.py:603-894)")
     p.add_argument("--probe-bw-limit", type=float, default=0.0,
                    help=">0: probe the OLFT touch-up rate (bits/s) and set "
                         "the frame sampling interval to fit this budget")
@@ -110,7 +118,8 @@ def x26x_multicam(args):
     if not have_ffmpeg():
         raise SystemExit("ffmpeg not available for x26x anchors")
     ds = MultiViewVideoDataset(
-        args.dataset_dir, args.category, gop_size=args.gop, split="test"
+        args.dataset_dir, args.category, gop_size=args.gop, split="test",
+        frame_size=args.frame_size,
     )
     clip = np.stack([np.asarray(ds[i]) for i in range(min(2, len(ds)))])
     clip = clip.reshape((-1,) + clip.shape[2:])  # [F, V, H, W, 3]
@@ -128,16 +137,75 @@ def x26x_multicam(args):
           f"(enc {enc_t*1e3:.1f} / dec {dec_t*1e3:.1f} ms/frame)")
 
 
+def eval_multicam(args):
+    """Model-based multicam eval (reference static_simulation_model_multicam,
+    train_multiview.py:408-416): per level, run the jitted GOP rollout over
+    the test split and append 'cat,lvl,bpp,psnr,completeness' to
+    {codec}.avg.log — the table the network-trace simulation consumes."""
+    ds = MultiViewVideoDataset(
+        args.dataset_dir, args.category, gop_size=args.gop, split="test",
+        frame_size=args.frame_size,
+    )
+    V = ds.num_views
+    key = jax.random.PRNGKey(args.seed)
+    host_rng = np.random.default_rng(args.seed)
+    for lvl in range(args.level_range[0], args.level_range[1]):
+        spec = get_codec_model(
+            args.codec, compression_level=lvl, num_views=V,
+            resilience=args.resilience,
+        )
+        sample = jnp.asarray(ds[0])
+        mask = jnp.asarray(
+            sample_view_mask(
+                host_rng, 1, V, max_failed=args.resilience,
+                force_resilience=args.force_resilience, training=False,
+            )
+        )
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": key}, sample[:2], mask
+        )
+        ckpt = (f"{args.ckpt_dir}/{args.codec}-{lvl}"
+                f"{args.loss_type}-{ds.category}")
+        try:
+            state = load_checkpoint(ckpt, {"params": params}, prefer_best=True)
+            params = state["params"]
+        except FileNotFoundError:
+            print(f"WARNING: no checkpoint at {ckpt}; random init")
+        jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
+        psnr_m, bpp_m, comp_m = AverageMeter(), AverageMeter(), AverageMeter()
+        n = min(len(ds), 10 if args.debug else len(ds))
+        if n == 0:
+            raise SystemExit(
+                f"test split of category {ds.category} has no full GOP "
+                f"(need > {args.gop} frames after the 80/20 split)"
+            )
+        for i in range(n):
+            gop = jnp.asarray(ds[i])
+            _, m = jroll(params, gop, mask=mask)
+            psnr_m.update(float(jnp.mean(m["psnr"])))
+            bpp_m.update(float(jnp.mean(m["bpp_est"])))
+            comp_m.update(float(m.get("completeness", 1.0)))
+        with open(f"{args.codec}.avg.log", "a") as f:
+            # category ID (int), matching the reference's avg.log format
+            # and analysis.read_avg_log
+            f.write(f"{args.category},{lvl},{bpp_m.avg:.4f},{psnr_m.avg:.4f},"
+                    f"{comp_m.avg:.4f}\n")
+        print(f"eval cat {ds.category} lvl {lvl}: bpp {bpp_m.avg:.4f} "
+              f"psnr {psnr_m.avg:.2f} completeness {comp_m.avg:.2f}")
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.task == "speed":
         return speed_test(args)
     if args.task == "x26x":
         return x26x_multicam(args)
+    if args.task == "eval":
+        return eval_multicam(args)
     train_ds = MultiViewVideoDataset(
         args.dataset_dir, args.category, gop_size=args.gop, split="train",
-        c2s_ratio=args.c2s_ratio, sample_interval=args.sample_interval,
-        max_pool_size=args.max_pool_size,
+        frame_size=args.frame_size, c2s_ratio=args.c2s_ratio,
+        sample_interval=args.sample_interval, max_pool_size=args.max_pool_size,
     )
     V = train_ds.num_views
     spec = get_codec_model(
@@ -185,7 +253,8 @@ def main(argv=None):
               f"(budget {args.probe_bw_limit/1e6:.2f} Mbps)")
 
     psnr_m, bpp_m, touch_m = AverageMeter(), AverageMeter(), AverageMeter()
-    progress_log = f"{args.codec}.{train_ds.category}.log"
+    key_part = f".{args.log_key}" if args.log_key else ""
+    progress_log = f"{args.codec}.{train_ds.category}{key_part}.log"
     t0 = time.time()
     for step in range(args.steps):
         pool = train_ds.sample(step)

@@ -2,6 +2,8 @@
 log format roundtrip, anchor frame layouts, OLFT touch-ups, checkpoint
 partial loaders."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -303,3 +305,94 @@ class TestMcvcCompleteness:
         # distortion is averaged over ALIVE views only (metrics_per_gop,
         # train_multiview.py:168-190) — finite either way
         assert np.isfinite(np.asarray(m_fail["img_loss"])).all()
+
+
+class TestPlots:
+    def test_rd_speed_and_bdrate_from_logs(self, tmp_path):
+        from fastvideocodec_tpu.analysis.plots import (
+            bd_rate_table,
+            plot_rd_curves,
+            plot_speed,
+            rd_points,
+        )
+        from fastvideocodec_tpu.utils.logs import write_eval_log
+
+        # two codecs x 4 levels; codec B strictly better (same psnr at
+        # lower bpp)
+        a = str(tmp_path / "A.UVG.0.log")
+        b = str(tmp_path / "B.UVG.0.log")
+        for lvl, (bpp, psnr) in enumerate(
+            [(0.1, 31.0), (0.2, 34.0), (0.4, 37.0), (0.8, 40.0)]
+        ):
+            write_eval_log(a, lvl, bpp, 0.02, 0.01, [psnr, psnr])
+            write_eval_log(b, lvl, bpp * 0.8, 0.015, 0.008, [psnr, psnr])
+
+        pts = rd_points(a)
+        assert list(pts) == [0, 1, 2, 3]
+        assert abs(pts[2]["bpp"] - 0.4) < 1e-9
+
+        rd_png = str(tmp_path / "rd.png")
+        plot_rd_curves([a, b], rd_png)
+        assert os.path.getsize(rd_png) > 1000
+        sp_png = str(tmp_path / "speed.png")
+        plot_speed([a, b], sp_png)
+        assert os.path.getsize(sp_png) > 1000
+
+        table = bd_rate_table(a, [b])
+        # B needs ~20% fewer bits at equal quality
+        assert -25 < table["B"]["bd_rate_pct"] < -15
+        assert table["B"]["bd_psnr_db"] > 0
+
+
+class TestGlobalMesh:
+    def test_hybrid_mesh_shapes_single_process(self):
+        from fastvideocodec_tpu.parallel import global_mesh
+
+        n = len(jax.devices())
+        if n < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        mesh = global_mesh(view=4)
+        assert mesh.axis_names == ("data", "view", "frame")
+        assert mesh.devices.shape == (n // 4, 4, 1)
+        try:
+            global_mesh(data=3, view=4)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError for bad mesh size")
+
+
+class TestMulticamEvalTask:
+    def test_eval_task_writes_avg_log(self, tmp_path, monkeypatch):
+        """Driver smoke (VERDICT round-1 item 9): the multicam model-eval
+        mode runs on a synthetic MMPTracking-style tree and writes the
+        'cat,lvl,bpp,psnr,completeness' table the trace simulation reads."""
+        from PIL import Image
+
+        from fastvideocodec_tpu.cli.train_multiview import main as mv_main
+
+        root = tmp_path / "mmpt"
+        cat_dir = root / "retail_0"
+        cat_dir.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for fid in range(20):
+            for view in range(1, 7):
+                img = Image.fromarray(
+                    (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                )
+                img.save(cat_dir / f"rgb_{fid:05d}_{view}.jpg")
+
+        monkeypatch.chdir(tmp_path)
+        mv_main([
+            "--dataset-dir", str(root), "--category", "0", "--task", "eval",
+            "--gop", "2", "--frame-size", "32", "--level-range", "0", "1",
+            "--codec", "MCVC-IA", "--debug",
+        ])
+        from fastvideocodec_tpu.analysis import read_avg_log
+
+        table = read_avg_log(str(tmp_path / "MCVC-IA.avg.log"))
+        assert 0 in table and 0 in table[0]
+        bpp, psnr, comp = table[0][0][0]
+        assert bpp > 0 and np.isfinite(psnr) and comp == 1.0
