@@ -75,6 +75,7 @@ class PolyphaseDeconv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         w = w.astype(self.dtype)
+        x = x.astype(self.dtype)  # match nn.ConvTranspose's input promotion
         taps, dmin, dmax = _polyphase_taps(k, s)
         L = dmax - dmin + 1
         kern = jnp.zeros((L, L, cin, s, s, self.features), self.dtype)

@@ -52,7 +52,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
-                 R, H, W, C, Hh, Wh, out_dtype):
+                 R, H, W, C, Hh, Wh, out_dtype, pixel_mode=False):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -74,12 +74,18 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     ii = (ti * TILE_H + pidx // TILE_W).astype(jnp.float32)  # [P, 1]
     jj = (tj * TILE_W + pidx % TILE_W).astype(jnp.float32)
 
-    # reference grid composition (ops/warp.py flow_warp): linspace grid +
-    # flow*2/(size-1), unnormalized with align_corners=False, border clamp
-    gx = (-1.0 + jj * (2.0 / (W - 1))) + flow[:, 0:1] * (2.0 / (W - 1))
-    gy = (-1.0 + ii * (2.0 / (H - 1))) + flow[:, 1:2] * (2.0 / (H - 1))
-    sx = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
-    sy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
+    if pixel_mode:
+        # direct pixel displacements: source = output + flow (the SSF
+        # warp_volume convention after unnormalizing its affine grid)
+        sx = jnp.clip(jj + flow[:, 0:1], 0.0, W - 1)
+        sy = jnp.clip(ii + flow[:, 1:2], 0.0, H - 1)
+    else:
+        # reference grid composition (ops/warp.py flow_warp): linspace grid
+        # + flow*2/(size-1), unnormalized with align_corners=False, border
+        gx = (-1.0 + jj * (2.0 / (W - 1))) + flow[:, 0:1] * (2.0 / (W - 1))
+        gy = (-1.0 + ii * (2.0 / (H - 1))) + flow[:, 1:2] * (2.0 / (H - 1))
+        sx = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
+        sy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
 
     # halo-relative coordinates
     hy = jnp.clip(sy - (ti * TILE_H - R), 0.0, Hh - 2.0)
@@ -119,7 +125,8 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
 
 
 def _pallas_warp(
-    img: jax.Array, flow: jax.Array, R: int, interpret: bool = False
+    img: jax.Array, flow: jax.Array, R: int, interpret: bool = False,
+    pixel_mode: bool = False,
 ) -> jax.Array:
     B, H, W, C = img.shape
     # halo dims rounded to the (8, 128) tile so VMEM scratch stays aligned
@@ -141,7 +148,8 @@ def _pallas_warp(
     )
 
     kernel = functools.partial(
-        _warp_kernel, R=R, H=H, W=W, C=C, Hh=Hh, Wh=Wh, out_dtype=img.dtype
+        _warp_kernel, R=R, H=H, W=W, C=C, Hh=Hh, Wh=Wh, out_dtype=img.dtype,
+        pixel_mode=pixel_mode,
     )
     out = pl.pallas_call(
         kernel,
@@ -211,3 +219,32 @@ def _pfw_bwd(max_displacement, res, g):
 
 
 pallas_flow_warp.defvjp(_pfw_fwd, _pfw_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_pixel_warp(img: jax.Array, flow_px: jax.Array,
+                      max_displacement: int = 56):
+    """Bilinear warp with DIRECT pixel displacements (source = output +
+    flow), the convention ops.warp.warp_volume reaches after unnormalizing
+    its half-pixel-centred affine grid. Same halo/one-hot kernel as
+    pallas_flow_warp; displacements beyond the bound clamp."""
+    from fastvideocodec_tpu.ops.warp import _xla_pixel_warp
+
+    if not _supported(img.shape, max_displacement):
+        return _xla_pixel_warp(img, flow_px)
+    return _pallas_warp(img, flow_px, max_displacement, pixel_mode=True)
+
+
+def _ppw_fwd(img, flow_px, max_displacement):
+    return pallas_pixel_warp(img, flow_px, max_displacement), (img, flow_px)
+
+
+def _ppw_bwd(max_displacement, res, g):
+    from fastvideocodec_tpu.ops.warp import _xla_pixel_warp
+
+    img, flow_px = res
+    _, vjp = jax.vjp(_xla_pixel_warp, img, flow_px)
+    return vjp(g)
+
+
+pallas_pixel_warp.defvjp(_ppw_fwd, _ppw_bwd)

@@ -434,24 +434,58 @@ def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
     return jnp.stack(levels, axis=1)
 
 
+def _xla_pixel_warp(img: jax.Array, flow_px: jax.Array) -> jax.Array:
+    """Bilinear warp with direct pixel displacements (source = output +
+    flow). Gather-based exact path; coordinate math in f32."""
+    B, H, W, _ = flow_px.shape
+    jj = jnp.arange(W, dtype=jnp.float32)
+    ii = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(jj, ii)
+    f = flow_px.astype(jnp.float32)
+    sx = gx[None] + f[..., 0]
+    sy = gy[None] + f[..., 1]
+    # pixel coords -> align_corners=False normalized grid: g = (2s+1)/N - 1
+    grid = jnp.stack(
+        [(2.0 * sx + 1.0) / W - 1.0, (2.0 * sy + 1.0) / H - 1.0], axis=-1
+    )
+    return grid_sample_bilinear(img, grid, padding_mode="border",
+                                align_corners=False)
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "r"))
+def _pixel_warp_dispatch(img, flow_px, *, exact: bool, r: int):
+    if not exact and jax.default_backend() == "tpu":
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+            _supported,
+            pallas_pixel_warp,
+        )
+
+        if _supported(img.shape, r):
+            return pallas_pixel_warp(img, flow_px, r)
+    return _xla_pixel_warp(img, flow_px)
+
+
 def warp_volume(volume: jax.Array, flow: jax.Array, scale_field: jax.Array) -> jax.Array:
     """Trilinear sample of the scale-space volume (compressai warp_volume).
 
     volume: [B, D, H, W, C]; flow: [B, H, W, 2] in *normalized* units
     (added directly to the affine base grid, align_corners=False);
     scale_field: [B, H, W, 1] normalized depth coordinate in [-1, 1].
+
+    The xy sample of all D levels dispatches to the Pallas warp kernel on
+    TPU (depth levels fold into channels; unnormalizing the half-pixel-
+    centred affine grid gives source = output + flow*size/2 exactly, the
+    kernel's pixel mode) — the SSF family's hottest eval op would otherwise
+    hit XLA's per-element gathers. exact_warp() forces the gather path.
     """
     B, D, H, W, C = volume.shape
-    # affine_grid(eye) with align_corners=False == half-pixel-centred coords
-    xs = (jnp.arange(W, dtype=flow.dtype) + 0.5) * (2.0 / W) - 1.0
-    ys = (jnp.arange(H, dtype=flow.dtype) + 0.5) * (2.0 / H) - 1.0
-    gx, gy = jnp.meshgrid(xs, ys)
-    grid = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, H, W, 2)) + flow
-
     # 2D bilinear sample of every depth level with the shared xy grid.
     vol2d = volume.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * C)
-    sampled = grid_sample_bilinear(
-        vol2d, grid, padding_mode="border", align_corners=False
+    flow_px = flow.astype(jnp.float32) * jnp.asarray(
+        [W / 2.0, H / 2.0], jnp.float32
+    )
+    sampled = _pixel_warp_dispatch(
+        vol2d, flow_px, exact=_FORCE_EXACT_WARP, r=PALLAS_WARP_MAX_DISPLACEMENT
     ).reshape(B, H, W, D, C)
 
     # depth coordinate: unnormalize with align_corners=False, border clamp

@@ -97,3 +97,17 @@ def test_spynet_flow_scale_through_pallas():
     got = _pallas_warp(img, flow, 56, interpret=True)
     want = _xla_flow_warp(img, flow)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_pixel_mode_matches_xla_pixel_warp():
+    """warp_volume's dispatch: direct pixel displacements (source = output
+    + flow), depth levels folded into channels."""
+    from fastvideocodec_tpu.ops.warp import _xla_pixel_warp
+
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    img = _rand(k1, (1, 16, 128, 18))  # D*C channels like an SSF volume
+    flow = _rand(k2, (1, 16, 128, 2), -6.0, 6.0)
+    got = _pallas_warp(img, flow, 8, interpret=True, pixel_mode=True)
+    want = _xla_pixel_warp(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
