@@ -79,6 +79,14 @@ class TestGoldenRD:
             psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
             bpps.append(bpp)
             psnrs.append(psnr)
+            # on TRAINED weights the actual coded bits must track the
+            # likelihood estimate closely (reference entropy self-test
+            # contract, entropy_models.py:444-451; observed ~3% drift)
+            _, _, _, metrics = spec.module.apply(params, gop, training=False)
+            bits_est = float(metrics["bpp"]) * (T - 1) * H * W
+            assert abs(bits - bits_est) / bits_est < 0.15, (
+                level, bits, bits_est
+            )
         # higher lambda -> more bits, better quality (monotone RD curve)
         assert bpps[0] < bpps[1] < bpps[2], bpps
         assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
