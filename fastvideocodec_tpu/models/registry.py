@@ -122,6 +122,11 @@ def get_codec_model(
     elif name.startswith("Base"):
         module = Base(use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype)
         family = "base"
+    elif name == "SSF-TINY":
+        # miniature SSF for golden-RD tests / fast experiments (this
+        # framework's own; ships trained weights in assets/)
+        module = ScaleSpaceFlow(mid_planes=32, planes=48, dtype=dtype)
+        family = "ssf"
     elif name == "SSF-Official":
         module = ScaleSpaceFlow(dtype=dtype)
         family = "ssf"

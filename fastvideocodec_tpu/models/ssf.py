@@ -32,19 +32,24 @@ class ScaleSpaceFlow(nn.Module):
     num_levels: int = 5
     sigma0: float = 1.5
     scale_field_shift: float = 1.0
+    # transform / latent widths (compressai defaults 128/192); narrow
+    # configs ("SSF-TINY") reuse the same graph for fast RD regressions
+    mid_planes: int = 128
+    planes: int = 192
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.img_encoder = SSFEncoder(dtype=dt)
-        self.img_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.img_hyperprior = SSFHyperprior(dtype=dt)
-        self.motion_encoder = SSFEncoder(dtype=dt)
-        self.motion_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.motion_hyperprior = SSFHyperprior(dtype=dt)
-        self.res_encoder = SSFEncoder(dtype=dt)
-        self.res_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.res_hyperprior = SSFHyperprior(dtype=dt)
+        mp, pl = self.mid_planes, self.planes
+        self.img_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.motion_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.res_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
 
     def __call__(self, frames, training: bool = False, rng=None):
         """Convenience/init path: keyframe + chained inter over [T, B, H, W, 3]."""

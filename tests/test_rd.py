@@ -95,6 +95,71 @@ class TestGoldenRD:
         assert psnrs[-1] > 17.0, psnrs
 
 
+class TestGoldenRDSSF:
+    """Second-family RD evidence: SSF-TINY (scale-space flow) trained at the
+    same 3 lambda levels (assets/tiny_ssf_l{0,2,4}.npz, f16-stored; trained
+    through ScaleSpaceFlow.__call__ so the keyframe img_hyperprior path is
+    trained too — see assets/TINY_RD.md)."""
+
+    @staticmethod
+    def _load(level: int):
+        path = os.path.join(ASSETS, f"tiny_ssf_l{level}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"missing asset {path}")
+        data = np.load(path)
+        tree: dict = {}
+        for k in data.files:
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(data[k].astype(np.float32))
+        return tree
+
+    def test_monotone_bpp_psnr_across_levels_real_bits(self):
+        from fastvideocodec_tpu.coder.video import (
+            ssf_compress_gop,
+            ssf_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.ops import bits_estimate
+
+        spec = get_codec_model("SSF-TINY")
+        rng = np.random.default_rng(123)  # held-out clip
+        gop = jnp.asarray(synth_gop(rng))[:, None]  # [T, 1, H, W, 3]
+
+        bpps, psnrs = [], []
+        for level in (0, 2, 4):
+            params = self._load(level)
+            streams, recon, bits = ssf_compress_gop(spec, params, gop)
+            # decode==encode bitstream identity on trained weights
+            assert bool(jnp.all(ssf_decompress_gop(spec, params, streams) == recon))
+            bpp = bits / (T * H * W)  # keyframe coded too (img_hyperprior)
+            mse = float(jnp.mean((recon - gop) ** 2))
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+            bpps.append(bpp)
+            psnrs.append(psnr)
+            # actual coded bits track the likelihood estimate
+            # only the "y"/"z" entries are likelihoods (the rest are SP
+            # error norms)
+            _, liks = spec.module.apply(params, gop, training=False)
+            bits_est = float(
+                sum(bits_estimate(lik["y"]) + bits_estimate(lik["z"])
+                    for d in liks for lik in d.values())
+            )
+            # at this miniature scale the dominant est-vs-actual gap is the
+            # range coder's per-stream flush overhead (~28 bits/stream
+            # observed); allow 64 bits/stream + 5% modeling drift
+            n_streams = 2 + 4 * (T - 1)
+            excess = bits - bits_est
+            assert 0 < excess < n_streams * 64 + 0.05 * bits_est, (
+                level, bits, bits_est
+            )
+        assert bpps[0] < bpps[1] < bpps[2], bpps
+        assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
+        assert psnrs[-1] > 15.0, psnrs
+
+
 class TestConvergence:
     def test_rd_loss_drops(self):
         """Seeded regression: 100 steps of LSVC-TINY on the synthetic motion
