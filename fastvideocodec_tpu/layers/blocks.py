@@ -337,7 +337,22 @@ class WSConvBlock(nn.Module):
             nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.dim_out),
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+        # torch-parity uniform bias init (torch Conv2d default). A zeros
+        # init makes the conv output exactly constant on the SPnet's
+        # structurally-zero first-frame inputs (q_y_prior = 0 and
+        # round(y - mu) = 0 at random init), so GroupNorm sees var = 0 and
+        # every block multiplies gradients by rsqrt(eps) ~ 1e3 — the
+        # stacked towers then overflow to inf grad norms and
+        # clip_by_global_norm silently zeroes all updates.
+        fan_in = 3 * 3 * x.shape[-1]
+        bound = float(fan_in) ** -0.5
+        bias = self.param(
+            "bias",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-bound, maxval=bound
+            ),
+            (self.dim_out,),
+        )
         eps = 1e-5
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
@@ -346,7 +361,9 @@ class WSConvBlock(nn.Module):
             x.astype(self.dtype), wk.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias
-        y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(y)
+        # torch GroupNorm eps (flax default 1e-6 sharpens the constant-input
+        # amplification for no parity reason)
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(y)
         return jax.nn.silu(y)
 
 

@@ -176,3 +176,29 @@ class TestStagedTraining:
         assert abs(float(l_s2h) - float(l_soft)) > 1e-8
         # and ER pred_err contributes to both (err[1] term)
         assert float(m["loss"]) == float(l_s2h)
+
+    def test_spnet_finite_grads_on_constant_input(self):
+        """Regression: WSConvBlock's bias must not be zero-init.
+
+        SPnet's first-frame inputs are structurally zero at random init
+        (q_y_prior = 0, round(y - mu) = 0); with a zeros bias every conv
+        output is exactly constant, GroupNorm sees var = 0 and each block
+        amplifies gradients by rsqrt(eps) ~ 1e3, overflowing to inf through
+        the stacked towers — clip_by_global_norm then silently zeroes all
+        ELFVC-SP updates (the reference never hits this: torch Conv2d bias
+        init is uniform)."""
+        from fastvideocodec_tpu.layers.blocks import SPnet
+
+        net = SPnet(output_channels=24, dim=16)
+        x = jnp.zeros((1, 8, 8, 48))
+        params = jax.jit(net.init)(KEY, x)
+
+        def loss(p):
+            return jnp.sum(jnp.abs(net.apply(p, x)))
+
+        g = jax.jit(jax.grad(loss))(params)
+        norms = [
+            float(jnp.linalg.norm(v.astype(jnp.float32)))
+            for v in jax.tree_util.tree_leaves(g)
+        ]
+        assert all(np.isfinite(n) for n in norms), norms
