@@ -91,6 +91,7 @@ class SSFHyperprior(nn.Module):
     mid_planes: int = 192
     super_prec: bool = False
     sp: bool = False
+    sp_dim: int = 64  # SPnet trunk width (reference dim=64, super_precision.py:133)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -102,7 +103,9 @@ class SSFHyperprior(nn.Module):
         )
         self.gaussian = GaussianConditional()
         if self.super_prec:
-            self.y_predictor = SPnet(output_channels=self.planes, dtype=self.dtype)
+            self.y_predictor = SPnet(
+                output_channels=self.planes, dim=self.sp_dim, dtype=self.dtype
+            )
 
     def __call__(self, y, training: bool, rng=None, q_y_prior=None):
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)

@@ -42,23 +42,28 @@ class ELFVC(nn.Module):
     sigma0: float = 1.5
     scale_field_shift: float = 1.0
     planes: int = 192
+    mid_planes: int = 128
+    sp_dim: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.img_encoder = SSFEncoder(dtype=dt)
-        self.img_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.img_hyperprior = SSFHyperprior(dtype=dt)
-        self.flow_predictor = FlowPredictor(dtype=dt)
-        self.motion_encoder = SSFEncoder(dtype=dt)
-        self.motion_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.res_encoder = SSFEncoder(dtype=dt)
-        self.res_decoder = SSFDecoder(out_planes=3, dtype=dt)
+        mp, pl = self.mid_planes, self.planes
+        self.img_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
+        self.flow_predictor = FlowPredictor(mid_planes=mp, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
         self.motion_hyperprior = SSFHyperprior(
-            super_prec=self.super_prec, sp=self.sp_stage >= 1, dtype=dt
+            planes=pl, mid_planes=pl, super_prec=self.super_prec,
+            sp=self.sp_stage >= 1, sp_dim=self.sp_dim, dtype=dt,
         )
         self.res_hyperprior = SSFHyperprior(
-            super_prec=self.super_prec, sp=self.sp_stage >= 2, dtype=dt
+            planes=pl, mid_planes=pl, super_prec=self.super_prec,
+            sp=self.sp_stage >= 2, sp_dim=self.sp_dim, dtype=dt,
         )
 
     forward_prediction = ScaleSpaceFlow.forward_prediction

@@ -131,7 +131,19 @@ def get_codec_model(
         module = ScaleSpaceFlow(dtype=dtype)
         family = "ssf"
     elif name.startswith("ELFVC"):
-        module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage, dtype=dtype)
+        if "-TINY" in name:
+            # miniature config for golden-RD tests / fast experiments (this
+            # framework's own; ships staged-trained weights in assets/)
+            module = ELFVC(
+                super_prec="-SP" in name,
+                sp_stage=sp_stage,
+                planes=48,
+                mid_planes=32,
+                sp_dim=16,
+                dtype=dtype,
+            )
+        else:
+            module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage, dtype=dtype)
         family = "elfvc"
     elif name == "MCVC-Original":
         module = ScaleSpaceFlow(dtype=dtype)
