@@ -12,6 +12,7 @@ from fastvideocodec_tpu.layers.blocks import (
     WarpNet,
     qrelu,
 )
+from fastvideocodec_tpu.layers.codecnet import CodecNet, er_gen_config
 from fastvideocodec_tpu.layers.contextvp import ContextVP, VPCT
 from fastvideocodec_tpu.layers.spynet import SpyNet, load_pretrained_spynet
 from fastvideocodec_tpu.layers.transforms import (

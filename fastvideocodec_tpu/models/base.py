@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from fastvideocodec_tpu.entropy.bit_estimator import BitEstimator
 from fastvideocodec_tpu.layers.blocks import WarpNet
+from fastvideocodec_tpu.layers.codecnet import CodecNet, er_gen_config
 from fastvideocodec_tpu.layers.spynet import SpyNet
 from fastvideocodec_tpu.layers.transforms import (
     OUT_CHANNEL_M,
@@ -31,25 +32,6 @@ from fastvideocodec_tpu.layers.transforms import (
     SynthesisPriorNet,
 )
 from fastvideocodec_tpu.ops import bits_estimate, flow_warp, laplace_likelihood, quantize
-
-
-class ErrGenNet(nn.Module):
-    """4x kxk conv stack with LeakyReLU/GDN-free activations predicting
-    latent quantization error (the reference's CodecNet configs,
-    models.py:1587-1589)."""
-
-    channels: int
-    hidden: int
-    kernel: int = 5
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        k = self.kernel
-        act = lambda v: jax.nn.leaky_relu(v, 0.1)
-        for feats in (self.hidden, self.hidden, self.hidden, self.channels):
-            x = act(nn.Conv(feats, (k, k), padding=k // 2, dtype=self.dtype)(x))
-        return x
 
 
 class Base(nn.Module):
@@ -74,9 +56,11 @@ class Base(nn.Module):
         )
         self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
         if self.use_er:
-            self.mv_gen = ErrGenNet(OUT_CHANNEL_MV, 192, dtype=dt)
-            self.res_gen = ErrGenNet(OUT_CHANNEL_M, 128, dtype=dt)
-            self.z_gen = ErrGenNet(OUT_CHANNEL_N, 128, dtype=dt)
+            # config-driven CodecNet stacks, exactly the reference's
+            # mv/res/resprior GenNet configs (models.py:1587-1589)
+            self.mv_gen = CodecNet(er_gen_config(OUT_CHANNEL_MV, 192), dtype=dt)
+            self.res_gen = CodecNet(er_gen_config(OUT_CHANNEL_M, 128), dtype=dt)
+            self.z_gen = CodecNet(er_gen_config(OUT_CHANNEL_N, 128), dtype=dt)
 
     def _er_correct(self, gen, latent, training):
         """Residual ER prediction from the rounded latent (models.py:1623-1632)."""

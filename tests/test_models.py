@@ -202,3 +202,59 @@ class TestStagedTraining:
             for v in jax.tree_util.tree_leaves(g)
         ]
         assert all(np.isfinite(n) for n in norms), norms
+
+
+class TestCodecNet:
+    """Config-list-driven conv-stack builder (reference CodecNet,
+    models.py:1492-1546)."""
+
+    def test_mixed_config_shapes(self):
+        from fastvideocodec_tpu.layers import CodecNet
+
+        cfgs = (
+            (0, 5, 2, 6, 16), 2,            # conv s2 + relu
+            (8, 3, 2, 16, 24),              # strided basic block
+            (11, 1, 1, 24, 24),             # conv attention
+            (13, 3, 1, 24, 24),             # residual block
+            (4, 1, 1, 24, 24),              # GDN
+            (1, 5, 2, 24, 16), 3,           # deconv s2 + lrelu
+            (5, 1, 1, 16, 16),              # IGDN
+            (1, 5, 2, 16, 8), 7,            # deconv s2 + tanh
+            (10, 2, 2, 8, 8),               # avg pool
+        )
+        net = CodecNet(cfgs)
+        x = jnp.ones((1, 32, 32, 6))
+        params = jax.jit(net.init)(KEY, x)
+        y = jax.jit(net.apply)(params, x)
+        # 32 /2 /2 *2 *2 /2(pool) = 16
+        assert y.shape == (1, 16, 16, 8)
+        assert bool(jnp.all(jnp.isfinite(y)))
+
+    def test_er_config_matches_reference_topology(self):
+        """er_gen_config builds the 4-conv LeakyReLU ER stack
+        (models.py:1587-1589) with the reference's xavier(sqrt 2)/0.01
+        init."""
+        from fastvideocodec_tpu.layers import CodecNet, er_gen_config
+
+        net = CodecNet(er_gen_config(8, 16))
+        x = jnp.ones((2, 8, 8, 8))
+        params = jax.jit(net.init)(KEY, x)
+        y = net.apply(params, x)
+        assert y.shape == (2, 8, 8, 8)
+        p = params["params"]
+        convs = sorted(k for k in p if k.startswith("conv_"))
+        assert len(convs) == 4
+        # bias constant 0.01 (models.py:1543)
+        assert bool(jnp.all(p[convs[0]]["bias"] == 0.01))
+        # xavier-normal gain sqrt(2): std = sqrt(2/fan_avg)
+        w = p[convs[1]]["kernel"]  # [5,5,16,16]
+        fan_avg = 5 * 5 * 16
+        expect = np.sqrt(2.0 / fan_avg)
+        assert abs(float(jnp.std(w)) - expect) / expect < 0.15
+
+    def test_channel_mismatch_asserts(self):
+        from fastvideocodec_tpu.layers import CodecNet
+
+        net = CodecNet(((0, 3, 1, 4, 8),))
+        with pytest.raises(AssertionError):
+            net.init(KEY, jnp.ones((1, 8, 8, 3)))
