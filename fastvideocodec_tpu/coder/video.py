@@ -50,8 +50,132 @@ def _exact_warp_semantics(fn):
     return wrapped
 
 
+_JITTED: dict = {}
+
+
 def _apply(spec, params, fn, *args):
-    return spec.module.apply(params, *args, method=fn)
+    """jit-cached per (module, method): the real-bits paths call small net
+    pieces once per frame/layer, and an eager ``module.apply`` would both
+    retrace per call and execute op-by-op (disastrous over a device
+    relay). Flax modules hash by config, so equal specs share cache
+    entries — call sites must pass module-level named functions, never
+    fresh lambdas (a fresh lambda is a fresh key = a recompile)."""
+    key = (spec.module, fn)
+    jf = _JITTED.get(key)
+    if jf is None:
+        jf = jax.jit(functools.partial(spec.module.apply, method=fn))
+        _JITTED[key] = jf
+    return jf(params, *args)
+
+
+# Named method wrappers for the jit cache (see _apply).
+def _m_mv_encode_flow(m, t, r):
+    return m.mv_encoder(m.optic_flow(t, r))
+
+
+def _m_mv_decoder(m, q):
+    return m.mv_decoder(q)
+
+
+def _m_motioncompensation(m, r, d):
+    return m.motioncompensation(r, d)
+
+
+def _m_res_encoder(m, x):
+    return m.res_encoder(x)
+
+
+def _m_res_decoder(m, fq):
+    return m.res_decoder(fq)
+
+
+def _m_prior_encoder(m, f):
+    return m.prior_encoder(f)
+
+
+def _m_prior_decoder(m, zq):
+    return m.prior_decoder(zq)
+
+
+def _m_img_encoder(m, x):
+    return m.img_encoder(x)
+
+
+def _m_img_decoder(m, y):
+    return m.img_decoder(y)
+
+
+def _m_motion_encoder(m, x):
+    return m.motion_encoder(x)
+
+
+def _m_motion_decoder(m, y):
+    return m.motion_decoder(y)
+
+
+def _m_motion_predict(m, r, ym):
+    return m.forward_prediction(r, m.motion_decoder(ym))
+
+
+def _m_forward_prediction(m, r, mi):
+    return m.forward_prediction(r, mi)
+
+
+def _m_flow_predictor(m, x):
+    return m.flow_predictor(x)
+
+
+def _m_backup_img_decoder(m, y):
+    return m.backup_img_decoder(y)
+
+
+def _m_backup_res_decoder(m, y):
+    return m.backup_res_decoder(y)
+
+
+def _m_optic_flow(m, a, b):
+    return m.optic_flow(a, b)
+
+
+def _m_warpnet(m, x):
+    return m.warpnet(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _coder2d_fn_cached(codec_name: str, dec4_name: str, which: str):
+    """Stable (memoized) Coder2D method functions for the RLVC real-bits
+    path, so _apply's (module, fn) jit cache keys stay hot across frames."""
+    if which == "enc":
+        def fn(mod, xx, se):
+            return getattr(mod, codec_name).encode(xx, se)
+    elif which == "dec":
+        def fn(mod, lh, sd):
+            c = getattr(mod, codec_name)
+            return c.decode(lh, sd, None, getattr(mod, dec4_name))
+    else:  # "rpm"
+        def fn(mod, pl, rh):
+            return getattr(mod, codec_name).entropy.rpm(pl, rh)
+    return fn
+
+
+def _coder2d_fn(spec, codec_name: str, dec4_name: str, which: str):
+    return _coder2d_fn_cached(codec_name, dec4_name, which)
+
+
+def _hp_hyper_encoder(hp, y):
+    return hp.hyper_encoder(y)
+
+
+def _hp_dec_scale(hp, z):
+    return hp.hyper_decoder_scale(z)
+
+
+def _hp_dec_mean(hp, z):
+    return hp.hyper_decoder_mean(z)
+
+
+def _hp_y_predictor(hp, x):
+    return hp.y_predictor(x)
 
 
 def _codecs_from_params(params):
@@ -83,7 +207,7 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
     target = gop[1:]
 
     mv_latent = _apply(
-        spec, params, lambda m, t, r: m.mv_encoder(m.optic_flow(t, r)),
+        spec, params, _m_mv_encode_flow,
         gop_flow[1:], gop_flow[jnp.asarray(sched.ref_index)],
     )
     mv_q = jnp.round(mv_latent)
@@ -93,7 +217,7 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
 
     coder = AsyncCoder(workers=2)
     mv_future = coder.submit(mv_codec.compress, np.asarray(mv_q))
-    mv_hat = _apply(spec, params, lambda m, q: m.mv_decoder(q), mv_q)
+    mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
 
     com = [None] * bs
     z_futures, feat_futures = [], []
@@ -103,21 +227,21 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
         ref = jnp.stack(refs)
         ids = jnp.asarray([f - 1 for f in layer])
         mc, _ = _apply(
-            spec, params, lambda m, r, d: m.motioncompensation(r, d), ref, mv_hat[ids]
+            spec, params, _m_motioncompensation, ref, mv_hat[ids]
         )
         res = target[ids] - mc
-        feature = _apply(spec, params, lambda m, x: m.res_encoder(x), res)
-        z = _apply(spec, params, lambda m, f: m.prior_encoder(f), feature)
+        feature = _apply(spec, params, _m_res_encoder, res)
+        z = _apply(spec, params, _m_prior_encoder, feature)
         z_q = jnp.round(z)
         z_futures.append(coder.submit(z_codec.compress, np.asarray(z_q)))
         z_shapes.append(tuple(z_q.shape))
-        sigma = _apply(spec, params, lambda m, zq: m.prior_decoder(zq), z_q)
+        sigma = _apply(spec, params, _m_prior_decoder, z_q)
         feat_q = jnp.round(feature)
         feat_futures.append(
             coder.submit(feat_codec.compress, np.asarray(feat_q), np.asarray(sigma))
         )
         feat_shapes.append(tuple(feat_q.shape))
-        res_hat = _apply(spec, params, lambda m, fq: m.res_decoder(fq), feat_q)
+        res_hat = _apply(spec, params, _m_res_decoder, feat_q)
         com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
         for i, f in enumerate(layer):
             com[f - 1] = com_frames[i]
@@ -159,7 +283,7 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
     mv_q = jnp.asarray(
         mv_codec.decompress(streams["mv"], streams["mv_shape"])
     )
-    mv_hat = _apply(spec, params, lambda m, q: m.mv_decoder(q), mv_q)
+    mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
 
     com = [None] * num_p_frames
     for li, layer in enumerate(sched.layers):
@@ -167,16 +291,16 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
         ref = jnp.stack(refs)
         ids = jnp.asarray([f - 1 for f in layer])
         mc, _ = _apply(
-            spec, params, lambda m, r, d: m.motioncompensation(r, d), ref, mv_hat[ids]
+            spec, params, _m_motioncompensation, ref, mv_hat[ids]
         )
         z_q = jnp.asarray(z_codec.decompress(streams["z"][li], streams["z_shapes"][li]))
-        sigma = _apply(spec, params, lambda m, zq: m.prior_decoder(zq), z_q)
+        sigma = _apply(spec, params, _m_prior_decoder, z_q)
         feat_q = jnp.asarray(
             feat_codec.decompress(
                 streams["features"][li], np.asarray(sigma)
             ).reshape(streams["feat_shapes"][li])
         )
-        res_hat = _apply(spec, params, lambda m, fq: m.res_decoder(fq), feat_q)
+        res_hat = _apply(spec, params, _m_res_decoder, feat_q)
         com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
         for i, f in enumerate(layer):
             com[f - 1] = com_frames[i]
@@ -211,16 +335,22 @@ class HyperpriorCoder:
         self.y_codec = GaussianCodec()
 
     def _sub(self, fn, *args):
-        m = self.spec.module
+        # jit-cached per (module, submodule name, fn) — see _apply
+        key = (self.spec.module, self.name, fn)
+        jf = _JITTED.get(key)
+        if jf is None:
+            name = self.name
 
-        def call(mod, *a):
-            return fn(getattr(mod, self.name), *a)
+            def call(mod, *a):
+                return fn(getattr(mod, name), *a)
 
-        return m.apply(self.params, *args, method=call)
+            jf = jax.jit(functools.partial(self.spec.module.apply, method=call))
+            _JITTED[key] = jf
+        return jf(self.params, *args)
 
     def _means_scales(self, z_hat, y_shape):
-        scales = self._sub(lambda hp, zz: hp.hyper_decoder_scale(zz), z_hat)
-        means = self._sub(lambda hp, zz: hp.hyper_decoder_mean(zz), z_hat)
+        scales = self._sub(_hp_dec_scale, z_hat)
+        means = self._sub(_hp_dec_mean, z_hat)
         # the 3x stride-2 hyper decoder emits 8*ceil(y/8) pixels; crop to y
         scales = scales[:, : y_shape[1], : y_shape[2], :]
         means = means[:, : y_shape[1], : y_shape[2], :]
@@ -231,8 +361,7 @@ class HyperpriorCoder:
         + means (reference models.py:1988-1997). Both encoder and decoder
         run this from DECODED symbols, so the stream stays consistent."""
         pred = self._sub(
-            lambda hp, ri: hp.y_predictor(ri),
-            jnp.concatenate([round_y, q_y_prior], axis=-1),
+            _hp_y_predictor, jnp.concatenate([round_y, q_y_prior], axis=-1)
         )
         return pred + round_y + means
 
@@ -240,7 +369,7 @@ class HyperpriorCoder:
         """Returns (streams, y_out, new_q_y_prior). When the hyperprior has
         an active SPnet (ELFVC-SP), y_out is the SP-corrected y the decoder
         will reproduce and q_y_prior must carry round(y - means) frames."""
-        z = self._sub(lambda hp, yy: hp.hyper_encoder(yy), y)
+        z = self._sub(_hp_hyper_encoder, y)
         z_stream = self.z_codec.compress(np.asarray(z))
         z_hat = jnp.asarray(self.z_codec.decompress(z_stream, z.shape))
         means, scales = self._means_scales(z_hat, y.shape)
@@ -284,31 +413,20 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
 
-    y0 = m.apply(params, gop[0], method=lambda mod, x: mod.img_encoder(x))
+    y0 = _apply(spec, params, _m_img_encoder, gop[0])
     key_streams, y0_hat, _ = img_hp.compress(y0)
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
 
     frames = [x_ref]
     inter_streams = []
     for t in range(1, gop.shape[0]):
         x_cur = gop[t]
-        y_mot = m.apply(
-            params, jnp.concatenate([x_cur, x_ref], axis=-1),
-            method=lambda mod, x: mod.motion_encoder(x),
-        )
+        y_mot = _apply(spec, params, _m_motion_encoder, jnp.concatenate([x_cur, x_ref], axis=-1))
         mot_s, y_mot_hat, _ = mot_hp.compress(y_mot)
-        x_pred = m.apply(
-            params, x_ref, y_mot_hat,
-            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
-        )
-        y_res = m.apply(
-            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
-        )
+        x_pred = _apply(spec, params, _m_motion_predict, x_ref, y_mot_hat)
+        y_res = _apply(spec, params, _m_res_encoder, x_cur - x_pred)
         res_s, y_res_hat, _ = res_hp.compress(y_res)
-        x_ref = x_pred + m.apply(
-            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_ref = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1))
         frames.append(x_ref)
         inter_streams.append(
             {"motion": mot_s, "residual": res_s,
@@ -334,19 +452,13 @@ def ssf_decompress_gop(spec: CodecSpec, params, streams: dict):
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
 
     y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
     frames = [x_ref]
     for s in streams["inter"]:
         y_mot_hat, _ = mot_hp.decompress(s["motion"], s["y_mot_shape"])
-        x_pred = m.apply(
-            params, x_ref, y_mot_hat,
-            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
-        )
+        x_pred = _apply(spec, params, _m_motion_predict, x_ref, y_mot_hat)
         y_res_hat, _ = res_hp.decompress(s["residual"], s["y_res_shape"])
-        x_ref = x_pred + m.apply(
-            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_ref = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1))
         frames.append(x_ref)
     return jnp.stack(frames)
 
@@ -371,9 +483,9 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1)
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2)
 
-    y0 = m.apply(params, gop[0], method=lambda mod, x: mod.img_encoder(x))
+    y0 = _apply(spec, params, _m_img_encoder, gop[0])
     key_streams, y0_hat, _ = img_hp.compress(y0)
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
 
     B, H, W = x_ref.shape[0], x_ref.shape[1], x_ref.shape[2]
     state = m.init_state(B, H, W)
@@ -383,38 +495,18 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     inter_streams = []
     for t in range(1, gop.shape[0]):
         x_cur = gop[t]
-        motion_info_local = m.apply(
-            params,
-            jnp.concatenate(
+        motion_info_local = _apply(spec, params, _m_flow_predictor, jnp.concatenate(
                 [x_ref, state.x_ref_ref, state.motion_info_prior], axis=-1
-            ),
-            method=lambda mod, x: mod.flow_predictor(x),
-        )
-        x_pred_local = m.apply(
-            params, x_ref, motion_info_local,
-            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
-        )
-        y_motion = m.apply(
-            params, jnp.concatenate([x_cur, x_pred_local], axis=-1),
-            method=lambda mod, x: mod.motion_encoder(x),
-        )
+            ))
+        x_pred_local = _apply(spec, params, _m_forward_prediction, x_ref, motion_info_local)
+        y_motion = _apply(spec, params, _m_motion_encoder, jnp.concatenate([x_cur, x_pred_local], axis=-1))
         mot_s, y_mot_out, qpm = mot_hp.compress(y_motion, q_y_prior=qpm)
-        motion_delta = m.apply(
-            params, y_mot_out, method=lambda mod, y: mod.motion_decoder(y)
-        )
+        motion_delta = _apply(spec, params, _m_motion_decoder, y_mot_out)
         motion_info = state.motion_info_prior + motion_delta
-        x_pred = m.apply(
-            params, x_ref, motion_info,
-            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
-        )
-        y_res = m.apply(
-            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
-        )
+        x_pred = _apply(spec, params, _m_forward_prediction, x_ref, motion_info)
+        y_res = _apply(spec, params, _m_res_encoder, x_cur - x_pred)
         res_s, y_res_out, qpr = res_hp.compress(y_res, q_y_prior=qpr)
-        x_rec = x_pred + m.apply(
-            params, jnp.concatenate([y_res_out, y_mot_out], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_rec = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_out, y_mot_out], axis=-1))
         state = state._replace(x_ref_ref=x_ref, motion_info_prior=motion_info)
         x_ref = x_rec
         frames.append(x_ref)
@@ -446,7 +538,7 @@ def elfvc_decompress_gop(spec: CodecSpec, params, streams: dict):
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2)
 
     y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
     B, H, W = x_ref.shape[0], x_ref.shape[1], x_ref.shape[2]
     state = m.init_state(B, H, W)
     qpm, qpr = None, None
@@ -456,19 +548,11 @@ def elfvc_decompress_gop(spec: CodecSpec, params, streams: dict):
         # the flow predictor only conditions the ENCODER's motion analysis;
         # the decoder needs just prior + transmitted delta (models.py:2095)
         y_mot_out, qpm = mot_hp.decompress(s["motion"], s["y_mot_shape"], q_y_prior=qpm)
-        motion_delta = m.apply(
-            params, y_mot_out, method=lambda mod, y: mod.motion_decoder(y)
-        )
+        motion_delta = _apply(spec, params, _m_motion_decoder, y_mot_out)
         motion_info = state.motion_info_prior + motion_delta
-        x_pred = m.apply(
-            params, x_ref, motion_info,
-            method=lambda mod, r, mi: mod.forward_prediction(r, mi),
-        )
+        x_pred = _apply(spec, params, _m_forward_prediction, x_ref, motion_info)
         y_res_out, qpr = res_hp.decompress(s["residual"], s["y_res_shape"], q_y_prior=qpr)
-        x_rec = x_pred + m.apply(
-            params, jnp.concatenate([y_res_out, y_mot_out], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_rec = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_out, y_mot_out], axis=-1))
         state = state._replace(x_ref_ref=x_ref, motion_info_prior=motion_info)
         x_ref = x_rec
         frames.append(x_ref)
@@ -501,14 +585,11 @@ def mcvc_compress_gop(spec: CodecSpec, params, gop: jax.Array, mask):
     mask = jnp.asarray(mask)
 
     x0 = mask_views(gop[0], mask)
-    y0 = m.apply(params, x0, method=lambda mod, x: mod.img_encoder(x))
+    y0 = _apply(spec, params, _m_img_encoder, x0)
     key_streams, y0_hat, _ = img_hp.compress(y0)
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
     if ia:
-        x_enh = m.apply(
-            params, mask_views(y0_hat, mask),
-            method=lambda mod, y: mod.backup_img_decoder(y),
-        )
+        x_enh = _apply(spec, params, _m_backup_img_decoder, mask_views(y0_hat, mask))
     else:
         x_enh = x_ref
 
@@ -517,30 +598,16 @@ def mcvc_compress_gop(spec: CodecSpec, params, gop: jax.Array, mask):
     for t in range(1, gop.shape[0]):
         x_cur = mask_views(gop[t], mask)
         x_ref_m = mask_views(x_ref, mask)
-        y_motion = m.apply(
-            params, jnp.concatenate([x_cur, x_ref_m], axis=-1),
-            method=lambda mod, x: mod.motion_encoder(x),
-        )
+        y_motion = _apply(spec, params, _m_motion_encoder, jnp.concatenate([x_cur, x_ref_m], axis=-1))
         mot_s, y_mot_hat, _ = mot_hp.compress(y_motion)
-        x_pred = m.apply(
-            params, x_ref_m, y_mot_hat,
-            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
-        )
-        y_res = m.apply(
-            params, x_cur - x_pred, method=lambda mod, x: mod.res_encoder(x)
-        )
+        x_pred = _apply(spec, params, _m_motion_predict, x_ref_m, y_mot_hat)
+        y_res = _apply(spec, params, _m_res_encoder, x_cur - x_pred)
         res_s, y_res_hat, _ = res_hp.compress(y_res)
-        x_rec = x_pred + m.apply(
-            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_rec = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1))
         if ia:
             ym = mask_views(y_mot_hat, mask)
             yr = mask_views(y_res_hat, mask)
-            x_enh = x_pred + m.apply(
-                params, jnp.concatenate([yr, ym], axis=-1),
-                method=lambda mod, y: mod.backup_res_decoder(y),
-            )
+            x_enh = x_pred + _apply(spec, params, _m_backup_res_decoder, jnp.concatenate([yr, ym], axis=-1))
         else:
             x_enh = x_rec
         recons.append(x_enh)
@@ -575,12 +642,9 @@ def mcvc_decompress_gop(spec: CodecSpec, params, streams: dict):
     mask = jnp.asarray(streams["mask"], jnp.float32)
 
     y0_hat, _ = img_hp.decompress(streams["keyframe"], streams["y0_shape"])
-    x_ref = m.apply(params, y0_hat, method=lambda mod, y: mod.img_decoder(y))
+    x_ref = _apply(spec, params, _m_img_decoder, y0_hat)
     if ia:
-        x_enh = m.apply(
-            params, mask_views(y0_hat, mask),
-            method=lambda mod, y: mod.backup_img_decoder(y),
-        )
+        x_enh = _apply(spec, params, _m_backup_img_decoder, mask_views(y0_hat, mask))
     else:
         x_enh = x_ref
 
@@ -588,22 +652,13 @@ def mcvc_decompress_gop(spec: CodecSpec, params, streams: dict):
     for s in streams["inter"]:
         x_ref_m = mask_views(x_ref, mask)
         y_mot_hat, _ = mot_hp.decompress(s["motion"], s["y_mot_shape"])
-        x_pred = m.apply(
-            params, x_ref_m, y_mot_hat,
-            method=lambda mod, r, ym: mod.forward_prediction(r, mod.motion_decoder(ym)),
-        )
+        x_pred = _apply(spec, params, _m_motion_predict, x_ref_m, y_mot_hat)
         y_res_hat, _ = res_hp.decompress(s["residual"], s["y_res_shape"])
-        x_rec = x_pred + m.apply(
-            params, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1),
-            method=lambda mod, y: mod.res_decoder(y),
-        )
+        x_rec = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1))
         if ia:
             ym = mask_views(y_mot_hat, mask)
             yr = mask_views(y_res_hat, mask)
-            x_enh = x_pred + m.apply(
-                params, jnp.concatenate([yr, ym], axis=-1),
-                method=lambda mod, y: mod.backup_res_decoder(y),
-            )
+            x_enh = x_pred + _apply(spec, params, _m_backup_res_decoder, jnp.concatenate([yr, ym], axis=-1))
         else:
             x_enh = x_rec
         recons.append(x_enh)
@@ -620,22 +675,16 @@ def _rlvc_codec_real(spec, params, codec_name, dec4_name, x, rae_hidden,
                      rpm_hidden, rpm_flag, prior_latent, fcodec, gcodec):
     """One Coder2D pass with real entropy coding (reference
     compress_slow/decompress_slow fused, entropy_models.py:97-148)."""
-    m = spec.module
-
-    def enc(mod, xx, se):
-        return getattr(mod, codec_name).encode(xx, se)
-
-    def dec(mod, lh, sd):
-        c = getattr(mod, codec_name)
-        return c.decode(lh, sd, None, getattr(mod, dec4_name))
-
-    def rpm_net(mod, pl, rh):
-        return getattr(mod, codec_name).entropy.rpm(pl, rh)
+    enc = _coder2d_fn(spec, codec_name, dec4_name, "enc")
+    dec = _coder2d_fn(spec, codec_name, dec4_name, "dec")
+    rpm_net = _coder2d_fn(spec, codec_name, dec4_name, "rpm")
 
     state_enc, state_dec = jnp.split(rae_hidden, 2, axis=-1)
-    latent, state_enc = m.apply(params, x, state_enc, method=enc)
+    latent, state_enc = _apply(spec, params, enc, x, state_enc)
     if rpm_flag:
-        sigma_raw, mu, rpm_hidden = m.apply(params, prior_latent, rpm_hidden, method=rpm_net)
+        sigma_raw, mu, rpm_hidden = _apply(
+            spec, params, rpm_net, prior_latent, rpm_hidden
+        )
         sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0)) / 10.0
         stream = gcodec.compress(np.asarray(latent), np.asarray(sigma), np.asarray(mu))
         latent_hat = jnp.round(latent - mu) + mu
@@ -645,7 +694,7 @@ def _rlvc_codec_real(spec, params, codec_name, dec4_name, x, rae_hidden,
     # prior from the DECODED latent so encoder and decoder states agree
     # (reference compress_slow, entropy_models.py:122)
     prior_latent = jnp.round(latent_hat)
-    hat, state_dec = m.apply(params, latent_hat, state_dec, method=dec)
+    hat, state_dec = _apply(spec, params, dec, latent_hat, state_dec)
     rae_hidden = jnp.concatenate([state_enc, state_dec], axis=-1)
     return hat, rae_hidden, rpm_hidden, prior_latent, stream, latent_hat.shape
 
@@ -683,16 +732,13 @@ def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     for t in range(1, T):
         x_cur = gop[t][None]
         flag = t > 1
-        mv = m.apply(params, x_cur, x_ref, method=lambda mod, a, b: mod.optic_flow(a, b))
+        mv = _apply(spec, params, _m_optic_flow, x_cur, x_ref)
         mv_hat, rae_mv, rpm_mv, mv_prior, mv_stream, mv_shape = _rlvc_codec_real(
             spec, params, "mv_codec", "mv_dec4", mv, rae_mv, rpm_mv, flag,
             mv_prior, fmv, gc,
         )
         x_warp = flow_warp(x_ref, mv_hat)
-        x_mc = m.apply(
-            params, jnp.concatenate([x_warp, x_ref], axis=-1),
-            method=lambda mod, x: mod.warpnet(x),
-        ) + x_warp
+        x_mc = _apply(spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)) + x_warp
         res = x_cur - x_mc
         res_hat, rae_res, rpm_res, res_prior, res_stream, res_shape = _rlvc_codec_real(
             spec, params, "res_codec", "res_dec4", res, rae_res, rpm_res, flag,
@@ -709,18 +755,12 @@ def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
 def _rlvc_codec_real_decode(spec, params, codec_name, dec4_name, rae_dec_state,
                             rpm_hidden, rpm_flag, prior_latent, latent_shape,
                             stream, fcodec, gcodec):
-    m = spec.module
-
-    def dec(mod, lh, sd):
-        c = getattr(mod, codec_name)
-        return c.decode(lh, sd, None, getattr(mod, dec4_name))
-
-    def rpm_net(mod, pl, rh):
-        return getattr(mod, codec_name).entropy.rpm(pl, rh)
+    dec = _coder2d_fn(spec, codec_name, dec4_name, "dec")
+    rpm_net = _coder2d_fn(spec, codec_name, dec4_name, "rpm")
 
     if rpm_flag:
-        sigma_raw, mu, rpm_hidden = m.apply(
-            params, prior_latent, rpm_hidden, method=rpm_net
+        sigma_raw, mu, rpm_hidden = _apply(
+            spec, params, rpm_net, prior_latent, rpm_hidden
         )
         sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0)) / 10.0
         latent_hat = jnp.asarray(
@@ -729,7 +769,7 @@ def _rlvc_codec_real_decode(spec, params, codec_name, dec4_name, rae_dec_state,
     else:
         latent_hat = jnp.asarray(fcodec.decompress(stream, latent_shape))
     prior_latent = jnp.round(latent_hat)
-    hat, rae_dec_state = m.apply(params, latent_hat, rae_dec_state, method=dec)
+    hat, rae_dec_state = _apply(spec, params, dec, latent_hat, rae_dec_state)
     return hat, rae_dec_state, rpm_hidden, prior_latent
 
 
@@ -767,10 +807,7 @@ def rlvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams,
             mv_prior, latent_shapes["mv"], s["mv"], fmv, gc,
         )
         x_warp = flow_warp(x_ref, mv_hat)
-        x_mc = m.apply(
-            params, jnp.concatenate([x_warp, x_ref], axis=-1),
-            method=lambda mod, x: mod.warpnet(x),
-        ) + x_warp
+        x_mc = _apply(spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)) + x_warp
         res_hat, rae_res_dec, rpm_res, res_prior = _rlvc_codec_real_decode(
             spec, params, "res_codec", "res_dec4", rae_res_dec, rpm_res, flag,
             res_prior, latent_shapes["res"], s["res"], fres, gc,

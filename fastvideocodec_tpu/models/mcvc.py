@@ -34,16 +34,21 @@ class AttnDecoder(nn.Module):
     out_planes: int
     num_views: int
     use_attn: bool = True
+    mid_planes: int = 128
+    attn_heads: int = 8
+    attn_dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         if self.use_attn:
             x = x + ConvAttention(
-                x.shape[-1], heads=8, dim_head=64, atype=2,
-                num_views=self.num_views, dtype=self.dtype,
+                x.shape[-1], heads=self.attn_heads, dim_head=self.attn_dim_head,
+                atype=2, num_views=self.num_views, dtype=self.dtype,
             )(x)
-        return SSFDecoder(out_planes=self.out_planes, dtype=self.dtype)(x)
+        return SSFDecoder(
+            self.mid_planes, out_planes=self.out_planes, dtype=self.dtype
+        )(x)
 
 
 def mask_views(x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -100,25 +105,33 @@ class MCVC(nn.Module):
     num_levels: int = 5
     sigma0: float = 1.5
     scale_field_shift: float = 1.0
+    planes: int = 192
+    mid_planes: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.img_encoder = SSFEncoder(dtype=dt)
-        self.img_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.img_hyperprior = SSFHyperprior(dtype=dt)
-        self.motion_encoder = SSFEncoder(dtype=dt)
-        self.motion_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.motion_hyperprior = SSFHyperprior(dtype=dt)
-        self.res_encoder = SSFEncoder(dtype=dt)
-        self.res_decoder = SSFDecoder(out_planes=3, dtype=dt)
-        self.res_hyperprior = SSFHyperprior(dtype=dt)
+        mp, pl = self.mid_planes, self.planes
+        self.img_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.motion_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.res_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
         if self.imbalanced_correlation:
+            # reference heads=8/dim_head=64 (models.py:2272); scaled down
+            # only for miniature configs
+            heads, dim_head = (8, 64) if pl >= 128 else (4, max(pl // 4, 8))
             self.backup_img_decoder = AttnDecoder(
-                3, self.num_views, self.use_attn, dtype=dt
+                3, self.num_views, self.use_attn, mid_planes=mp,
+                attn_heads=heads, attn_dim_head=dim_head, dtype=dt,
             )
             self.backup_res_decoder = AttnDecoder(
-                3, self.num_views, self.use_attn, dtype=dt
+                3, self.num_views, self.use_attn, mid_planes=mp,
+                attn_heads=heads, attn_dim_head=dim_head, dtype=dt,
             )
 
     forward_prediction = ScaleSpaceFlow.forward_prediction

@@ -150,11 +150,13 @@ def get_codec_model(
         family = "ssf"
         extras["num_views"] = num_views
     elif name.startswith("MCVC"):
+        widths = dict(planes=48, mid_planes=32) if "-TINY" in name else {}
         module = MCVC(
             num_views=num_views,
             imbalanced_correlation="-IA" in name,
             use_attn=use_attn,
             dtype=dtype,
+            **widths,
         )
         family = "mcvc"
         extras = {"num_views": num_views, "resilience": resilience,
