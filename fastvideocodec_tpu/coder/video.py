@@ -51,6 +51,58 @@ def _exact_warp_semantics(fn):
 
 
 _JITTED: dict = {}
+_WARMED: set = set()
+
+
+def _shape_sig(args):
+    return tuple(
+        (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape")
+        else type(a).__name__
+        for a in args
+    )
+
+
+def _run_warm(jf, warm_key, *args):
+    """Execute jf, double-executing the FIRST call per shape signature.
+
+    The decode==encode invariant needs run-to-run determinism, but the
+    very first execution of a freshly compiled program has been observed
+    (TPU v5e via the axon relay, 2026-08-17) to return garbage in a
+    corner patch at large buffer sizes (e.g. rows 481-511 x cols 871-1023
+    of a [1,512,1024,12] motion-compensation output) while every
+    subsequent execution is deterministic and correct. Discarding the
+    first-per-shape result costs one duplicate execution (amortized ~0 —
+    compilation already dominated that call) and removes the failure mode
+    on affected runtimes; on healthy runtimes it is a no-op cost."""
+    key = (warm_key, _shape_sig(args))
+    if key not in _WARMED:
+        # warm with PERTURBED array args: execution caches/memoizers must
+        # not be able to serve the warm-up result for the real call
+        warm_args = tuple(
+            a * 1.0009765625 if hasattr(a, "shape") and hasattr(a, "dtype")
+            and jnp.issubdtype(a.dtype, jnp.floating) and a.ndim > 0 else a
+            for a in args
+        )
+        _sync(jf(*warm_args))
+        _WARMED.add(key)
+    out = jf(*args)
+    # Serialize every real-bits net call with an honest host sync. On the
+    # remote-relay runtime, successive un-synced executions have been
+    # observed to race (deterministic tail-region corruption at large
+    # shapes breaking decode==encode; the same call sequence is clean when
+    # each result is host-read first). block_until_ready is NOT a reliable
+    # sync there — only a host scalar read is. On a local TPU runtime this
+    # costs microseconds on a path that is host-bound anyway (the range
+    # coder consumes full tensors between net calls).
+    _sync(out)
+    return out
+
+
+def _sync(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            float(jnp.mean(leaf.astype(jnp.float32)))
+            break
 
 
 def _apply(spec, params, fn, *args):
@@ -65,7 +117,7 @@ def _apply(spec, params, fn, *args):
     if jf is None:
         jf = jax.jit(functools.partial(spec.module.apply, method=fn))
         _JITTED[key] = jf
-    return jf(params, *args)
+    return _run_warm(jf, key, params, *args)
 
 
 # Named method wrappers for the jit cache (see _apply).
@@ -346,7 +398,7 @@ class HyperpriorCoder:
 
             jf = jax.jit(functools.partial(self.spec.module.apply, method=call))
             _JITTED[key] = jf
-        return jf(self.params, *args)
+        return _run_warm(jf, key, self.params, *args)
 
     def _means_scales(self, z_hat, y_shape):
         scales = self._sub(_hp_dec_scale, z_hat)
