@@ -206,3 +206,55 @@ class TestMcvcRealBitstream:
         np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
         assert bits > 0
         assert streams["mask"] == [1.0, 0.0, 1.0]
+
+
+class TestRunWarm:
+    """The jit-cache wrapper must discard the first execution per shape
+    signature (with perturbed inputs so memoizers can't serve the warm
+    result) and host-sync every real call — coder/video.py _run_warm."""
+
+    def test_first_call_double_executes_with_perturbed_inputs(self):
+        from fastvideocodec_tpu.coder import video as cv
+
+        calls = []
+
+        def fn(x):
+            calls.append(np.asarray(x).copy())
+            return x * 2.0
+
+        x = jnp.arange(8.0) + 1.0
+        key = ("test_run_warm", "a")
+        cv._WARMED.discard((key, cv._shape_sig((x,))))
+        out = cv._run_warm(fn, key, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+        assert len(calls) == 2  # warm-up + real
+        # warm-up inputs are perturbed: a result memoizer keyed on
+        # (callable, args) cannot return the warm-up output for the real call
+        assert not np.array_equal(calls[0], calls[1])
+
+        # second call with the same shape signature: no warm-up
+        y = jnp.arange(8.0) + 3.0
+        out2 = cv._run_warm(fn, key, y)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(y) * 2.0)
+        assert len(calls) == 3
+
+        # a new shape signature warms again
+        z = jnp.arange(16.0) + 1.0
+        cv._run_warm(fn, key, z)
+        assert len(calls) == 5
+
+    def test_non_float_and_scalar_args_pass_through_unperturbed(self):
+        from fastvideocodec_tpu.coder import video as cv
+
+        seen = {}
+
+        def fn(x, n, flag):
+            seen["n"], seen["flag"] = n, flag
+            return x + n
+
+        x = jnp.ones((4,), jnp.int32)  # integer array: not perturbable
+        key = ("test_run_warm", "b")
+        cv._WARMED.discard((key, cv._shape_sig((x, 3, True))))
+        out = cv._run_warm(fn, key, x, 3, True)
+        np.testing.assert_allclose(np.asarray(out), 4)
+        assert seen["n"] == 3 and seen["flag"] is True
