@@ -68,6 +68,19 @@ def get_codec_model(
         else:
             module = RLVC(entropy_type="rpm", dtype=dtype)
             family = "rlvc"
+    elif name.startswith("RLVC") and "-TINY" in name:
+        # miniature recurrent config for golden-RD tests (this framework's
+        # own; ships trained weights in assets/) — exercises the
+        # RecProbModel/RPM entropy path no hyperprior family covers
+        module = RLVC(
+            channels=32,
+            entropy_type="rpm2" if name.startswith("RLVC2") else "rpm",
+            spynet_widths=(8, 16, 8, 4),
+            spynet_kernel=5,
+            warp_width=16,
+            dtype=dtype,
+        )
+        family = "rlvc"
     elif name == "RLVC2":
         module = RLVC(entropy_type="rpm2", dtype=dtype)
         family = "rlvc"

@@ -123,12 +123,19 @@ class RLVC(nn.Module):
 
     channels: int = 128
     entropy_type: str = "rpm"  # 'rpm' -> RLVC, 'rpm2' -> RLVC2
+    # width knobs for miniature configs (RLVC-TINY golden-RD assets);
+    # defaults reproduce the reference geometry
+    spynet_widths: tuple = (32, 64, 32, 16)
+    spynet_kernel: int = 7
+    warp_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.optic_flow = SpyNet(dtype=dt)
-        self.warpnet = WarpNet(dtype=dt)
+        self.optic_flow = SpyNet(
+            widths=self.spynet_widths, kernel=self.spynet_kernel, dtype=dt
+        )
+        self.warpnet = WarpNet(width=self.warp_width, dtype=dt)
         self.mv_codec = Coder2D(self.channels, kernel=3, entropy_type=self.entropy_type, dtype=dt)
         self.res_codec = Coder2D(self.channels, kernel=5, entropy_type=self.entropy_type, dtype=dt)
         self.mv_dec4 = nn.ConvTranspose(2, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)

@@ -368,3 +368,61 @@ class TestGoldenRDMCVC:
         mse_backup = float(jnp.mean((dead - target) ** 2))
         mse_zero = float(jnp.mean(target ** 2))  # what a zeroed view scores
         assert mse_backup < 0.8 * mse_zero, (mse_backup, mse_zero)
+
+
+class TestGoldenRDRLVC:
+    """Fifth-family RD evidence: RLVC-TINY (recurrent ConvLSTM autoencoders
+    with the RecProbModel/RPM entropy path — the one family whose real-bits
+    coding uses factorized-then-RPM-Gaussian, entropy_models.py:26-148)
+    trained at 3 lambda levels (assets/tiny_rlvc_l{0,2,4}.npz, f16-stored)."""
+
+    @staticmethod
+    def _load(level: int):
+        path = os.path.join(ASSETS, f"tiny_rlvc_l{level}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"missing asset {path}")
+        data = np.load(path)
+        tree: dict = {}
+        for k in data.files:
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(data[k].astype(np.float32))
+        return tree
+
+    def test_monotone_bpp_psnr_across_levels_real_bits(self):
+        from fastvideocodec_tpu.coder.video import (
+            rlvc_compress_gop,
+            rlvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.gop import rollout
+
+        spec = get_codec_model("RLVC-TINY")
+        rng = np.random.default_rng(123)  # held-out clip
+        gop = jnp.asarray(synth_gop(rng))
+
+        bpps, psnrs = [], []
+        for level in (0, 2, 4):
+            params = self._load(level)
+            streams, recon, bits, shapes = rlvc_compress_gop(spec, params, gop)
+            # decode==encode identity: the decoder rebuilds recurrent
+            # decoder/RPM state from (I-frame, bitstreams) alone
+            dec = rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
+            assert bool(jnp.all(dec == recon))
+            bpp = bits / ((T - 1) * H * W)
+            mse = float(jnp.mean((recon - gop[1:]) ** 2))
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+            bpps.append(bpp)
+            psnrs.append(psnr)
+            # actual coded bits track the likelihood estimate
+            _, m = rollout(spec, params, gop, training=False, rng=None)
+            bits_est = float(jnp.sum(m["bpp_est"])) * H * W
+            n_streams = 2 * (T - 1)
+            excess = bits - bits_est
+            assert abs(excess) < n_streams * 64 + 0.08 * bits_est, (
+                level, bits, bits_est
+            )
+        assert bpps[0] < bpps[1] < bpps[2], bpps
+        assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
+        assert psnrs[-1] > 15.0, psnrs
