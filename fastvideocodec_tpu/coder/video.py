@@ -867,3 +867,216 @@ def rlvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams,
         x_ref = jnp.clip(res_hat + x_mc, 0.0, 1.0)
         recon.append(x_ref[0])
     return jnp.stack(recon)
+
+
+# ---------------------------------------------------------------------------
+# DVC real bitstreams (reference DVC/net.py:121-205 torchac path: BitEstimator
+# streams for mv/z, Laplace(sigma) stream for the residual features)
+# ---------------------------------------------------------------------------
+
+
+@_exact_warp_semantics
+def dvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
+    """DVC real-bitstream encode over a GOP [T, H, W, 3] (frame 0 I-coded).
+
+    Sequential P-frame chain (each frame references the previous recon);
+    per frame three streams: mv (BitEstimator), z (BitEstimator), features
+    (Laplace with sigma = prior_decoder(z_q)). Host coding overlaps the
+    device chain via AsyncCoder — recon depends on quantized latents only.
+    Returns (streams, recon [T-1, H, W, 3], bits)."""
+    from fastvideocodec_tpu.coder import AsyncCoder
+    from fastvideocodec_tpu.ops import flow_warp
+
+    mv_codec, z_codec, feat_codec = _codecs_from_params(params)
+    coder = AsyncCoder(workers=2)
+
+    T = gop.shape[0]
+    x_ref = gop[0][None]
+    recon, futures, shapes = [], [], []
+    for t in range(1, T):
+        x_cur = gop[t][None]
+        mv_latent = _apply(spec, params, _m_mv_encode_flow, x_cur, x_ref)
+        mv_q = jnp.round(mv_latent)
+        mv_f = coder.submit(mv_codec.compress, np.asarray(mv_q))
+        mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
+
+        x_warp = flow_warp(x_ref, mv_hat)
+        x_mc = _apply(
+            spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)
+        ) + x_warp
+        res = x_cur - x_mc
+        feature = _apply(spec, params, _m_res_encoder, res)
+        z = _apply(spec, params, _m_prior_encoder, feature)
+        z_q = jnp.round(z)
+        z_f = coder.submit(z_codec.compress, np.asarray(z_q))
+        sigma = _apply(spec, params, _m_prior_decoder, z_q)
+        feat_q = jnp.round(feature)
+        feat_f = coder.submit(
+            feat_codec.compress, np.asarray(feat_q), np.asarray(sigma)
+        )
+        res_hat = _apply(spec, params, _m_res_decoder, feat_q)
+        x_ref = jnp.clip(x_mc + res_hat, 0.0, 1.0)
+        recon.append(x_ref[0])
+        futures.append((mv_f, z_f, feat_f))
+        shapes.append({
+            "mv": tuple(mv_q.shape), "z": tuple(z_q.shape),
+            "feat": tuple(feat_q.shape),
+        })
+
+    frames = [
+        {"mv": fm.result(), "z": fz.result(), "feat": ff.result()}
+        for fm, fz, ff in futures
+    ]
+    coder.shutdown()
+    streams = {"frames": frames, "shapes": shapes}
+    bits = 8 * sum(len(f["mv"]) + len(f["z"]) + len(f["feat"]) for f in frames)
+    return streams, jnp.stack(recon), bits
+
+
+@_exact_warp_semantics
+def dvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams):
+    """DVC real-bitstream decode from (I-frame, bitstreams) only."""
+    from fastvideocodec_tpu.ops import flow_warp
+
+    mv_codec, z_codec, feat_codec = _codecs_from_params(params)
+    x_ref = iframe[None]
+    recon = []
+    for f, sh in zip(streams["frames"], streams["shapes"]):
+        mv_q = jnp.asarray(mv_codec.decompress(f["mv"], sh["mv"]))
+        mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
+        x_warp = flow_warp(x_ref, mv_hat)
+        x_mc = _apply(
+            spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)
+        ) + x_warp
+        z_q = jnp.asarray(z_codec.decompress(f["z"], sh["z"]))
+        sigma = _apply(spec, params, _m_prior_decoder, z_q)
+        feat_q = jnp.asarray(
+            feat_codec.decompress(f["feat"], np.asarray(sigma)).reshape(sh["feat"])
+        )
+        res_hat = _apply(spec, params, _m_res_decoder, feat_q)
+        x_ref = jnp.clip(x_mc + res_hat, 0.0, 1.0)
+        recon.append(x_ref[0])
+    return jnp.stack(recon)
+
+
+# ---------------------------------------------------------------------------
+# Base / Base-EC / Base-ER real bitstreams (reference models.py:1722-1806
+# torchac path). At eval the ER correction is a deterministic function of the
+# ROUNDED latent (corr = latent + (gen(round)+round - latent) = gen(q) + q),
+# so both sides recompute it from decoded symbols alone; EC's feature
+# correction comes from the hyper-decoder's second half, also symbol-derived.
+# ---------------------------------------------------------------------------
+
+
+def _m_mv_gen(m, q):
+    return m.mv_gen(q) + q
+
+
+def _m_z_gen(m, q):
+    return m.z_gen(q) + q
+
+
+def _m_res_gen(m, q):
+    return m.res_gen(q) + q
+
+
+def _base_mc(spec, params, m, x_ref, mv_q):
+    """Decode-side motion compensation from the coded mv symbols. Both
+    sides run this identical path, so decode==encode holds by
+    construction."""
+    from fastvideocodec_tpu.ops import flow_warp
+
+    mv_dec_in = _apply(spec, params, _m_mv_gen, mv_q) if m.use_er else mv_q
+    mv_hat = _apply(spec, params, _m_mv_decoder, mv_dec_in)
+    x_warp = flow_warp(x_ref, mv_hat)
+    return _apply(
+        spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)
+    ) + x_warp
+
+
+def _base_sigma(spec, params, m, z_q):
+    """Decode-side (sigma, EC feature correction) from the coded z symbols."""
+    z_dec_in = _apply(spec, params, _m_z_gen, z_q) if m.use_er else z_q
+    sigma_out = _apply(spec, params, _m_prior_decoder, z_dec_in)
+    if m.use_ec:
+        sigma, correction = jnp.split(sigma_out, 2, axis=-1)
+        return sigma, jax.nn.sigmoid(correction) - 0.5
+    return sigma_out, None
+
+
+def _base_reconstruct(spec, params, m, x_mc, feat_q, correction):
+    res_dec_in = _apply(spec, params, _m_res_gen, feat_q) if m.use_er else feat_q
+    if m.use_ec:
+        res_dec_in = jnp.concatenate([res_dec_in, correction], axis=-1)
+    res_hat = _apply(spec, params, _m_res_decoder, res_dec_in)
+    return jnp.clip(x_mc + res_hat, 0.0, 1.0)
+
+
+@_exact_warp_semantics
+def base_compress_gop(spec: CodecSpec, params, gop: jax.Array):
+    """Base-family real-bitstream encode over a GOP [T, H, W, 3].
+
+    Returns (streams, recon [T-1, H, W, 3], bits). Per frame: mv and z
+    BitEstimator streams, features Laplace(sigma) — where sigma must be the
+    DECODE-side sigma (ER/EC corrections applied), so the encoder derives
+    it through the exact decode path."""
+    from fastvideocodec_tpu.coder import AsyncCoder
+
+    m = spec.module
+    mv_codec, z_codec, feat_codec = _codecs_from_params(params)
+    coder = AsyncCoder(workers=2)
+
+    T = gop.shape[0]
+    x_ref = gop[0][None]
+    recon, futures, shapes = [], [], []
+    for t in range(1, T):
+        x_cur = gop[t][None]
+        mv_q = jnp.round(_apply(spec, params, _m_mv_encode_flow, x_cur, x_ref))
+        mv_f = coder.submit(mv_codec.compress, np.asarray(mv_q))
+        # the residual target is against the DECODE-side MC
+        x_mc = _base_mc(spec, params, m, x_ref, mv_q)
+        res = x_cur - x_mc
+        feature = _apply(spec, params, _m_res_encoder, res)
+        z_q = jnp.round(_apply(spec, params, _m_prior_encoder, feature))
+        z_f = coder.submit(z_codec.compress, np.asarray(z_q))
+        feat_q = jnp.round(feature)
+        sigma, correction = _base_sigma(spec, params, m, z_q)
+        feat_f = coder.submit(
+            feat_codec.compress, np.asarray(feat_q), np.asarray(sigma)
+        )
+        x_ref = _base_reconstruct(spec, params, m, x_mc, feat_q, correction)
+        recon.append(x_ref[0])
+        futures.append((mv_f, z_f, feat_f))
+        shapes.append({
+            "mv": tuple(mv_q.shape), "z": tuple(z_q.shape),
+            "feat": tuple(feat_q.shape),
+        })
+
+    frames = [
+        {"mv": fm.result(), "z": fz.result(), "feat": ff.result()}
+        for fm, fz, ff in futures
+    ]
+    coder.shutdown()
+    streams = {"frames": frames, "shapes": shapes}
+    bits = 8 * sum(len(f["mv"]) + len(f["z"]) + len(f["feat"]) for f in frames)
+    return streams, jnp.stack(recon), bits
+
+
+@_exact_warp_semantics
+def base_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams):
+    """Base-family real-bitstream decode from (I-frame, bitstreams) only."""
+    m = spec.module
+    mv_codec, z_codec, feat_codec = _codecs_from_params(params)
+    x_ref = iframe[None]
+    recon = []
+    for f, sh in zip(streams["frames"], streams["shapes"]):
+        mv_q = jnp.asarray(mv_codec.decompress(f["mv"], sh["mv"]))
+        z_q = jnp.asarray(z_codec.decompress(f["z"], sh["z"]))
+        x_mc = _base_mc(spec, params, m, x_ref, mv_q)
+        sigma, correction = _base_sigma(spec, params, m, z_q)
+        feat_q = jnp.asarray(
+            feat_codec.decompress(f["feat"], np.asarray(sigma)).reshape(sh["feat"])
+        )
+        x_ref = _base_reconstruct(spec, params, m, x_mc, feat_q, correction)
+        recon.append(x_ref[0])
+    return jnp.stack(recon)

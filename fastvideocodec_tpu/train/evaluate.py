@@ -85,6 +85,18 @@ def _real_bits_gop(spec: CodecSpec, params, gop: jnp.ndarray):
             lambda: cv.rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
         )
         return np.asarray(dec)[:, 0], None, bits, enc_t, dec_t, enc_ac, dec_ac
+    if fam in ("dvc", "base"):
+        compress = cv.dvc_compress_gop if fam == "dvc" else cv.base_compress_gop
+        decompress = (
+            cv.dvc_decompress_gop if fam == "dvc" else cv.base_decompress_gop
+        )
+        (streams, recon, bits), enc_t, enc_ac = timed(
+            lambda: compress(spec, params, gop)
+        )
+        dec, dec_t, dec_ac = timed(
+            lambda: decompress(spec, params, gop[0], streams)
+        )
+        return np.asarray(dec), None, bits, enc_t, dec_t, enc_ac, dec_ac
     if fam in ("ssf", "elfvc"):
         g5 = gop[:, None]
         compress = (

@@ -258,3 +258,51 @@ class TestRunWarm:
         out = cv._run_warm(fn, key, x, 3, True)
         np.testing.assert_allclose(np.asarray(out), 4)
         assert seen["n"] == 3 and seen["flag"] is True
+
+
+class TestDvcRealBitstream:
+    def test_encode_decode_identity(self):
+        """DVC sequential-chain real bits (reference DVC/net.py:121-205):
+        the decoder reconstructs from (I-frame, bitstreams) alone."""
+        from fastvideocodec_tpu.coder.video import (
+            dvc_compress_gop,
+            dvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model("DVC")
+        T, H, W = 3, 64, 64
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[0][None], gop[1][None]
+        )
+        streams, recon, bits = dvc_compress_gop(spec, params, gop)
+        dec = dvc_decompress_gop(spec, params, gop[0], streams)
+        assert bool(jnp.all(dec == recon))
+        assert bits > 0
+        assert recon.shape == (T - 1, H, W, 3)
+
+
+class TestBaseRealBitstream:
+    @pytest.mark.parametrize("name", ["Base", "Base-EC", "Base-ER"])
+    def test_encode_decode_identity(self, name):
+        """Base-family real bits (reference models.py:1722-1806): the ER
+        correction and EC feature correction are deterministic functions of
+        the decoded symbols, so decode == encode recon holds exactly."""
+        from fastvideocodec_tpu.coder.video import (
+            base_compress_gop,
+            base_decompress_gop,
+        )
+        from fastvideocodec_tpu.models import get_codec_model
+
+        spec = get_codec_model(name)
+        T, H, W = 3, 64, 64
+        gop = jax.random.uniform(jax.random.fold_in(KEY, hash(name) % 97), (T, H, W, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[0][None], gop[1][None]
+        )
+        streams, recon, bits = base_compress_gop(spec, params, gop)
+        dec = base_decompress_gop(spec, params, gop[0], streams)
+        assert bool(jnp.all(dec == recon))
+        assert bits > 0
+        assert recon.shape == (T - 1, H, W, 3)
