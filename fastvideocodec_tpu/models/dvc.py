@@ -38,20 +38,37 @@ class DVC(nn.Module):
     """One call = one P-frame step; stateless across frames."""
 
     use_attn: bool = False
+    # width knobs for miniature configs (DVC-TINY golden-RD assets);
+    # defaults reproduce the reference geometry (DVC/subnet/basics.py)
+    channels_n: int = OUT_CHANNEL_N    # conv trunk / z channels
+    channels_m: int = OUT_CHANNEL_M    # residual feature channels
+    channels_mv: int = OUT_CHANNEL_MV  # motion latent channels
+    spynet_widths: tuple = (32, 64, 32, 16)
+    spynet_kernel: int = 7
+    warp_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.optic_flow = SpyNet(dtype=dt)
-        self.mv_encoder = AnalysisMVNet(use_attn=self.use_attn, dtype=dt)
-        self.mv_decoder = SynthesisMVNet(dtype=dt)
-        self.warpnet = WarpNet(dtype=dt)
-        self.res_encoder = AnalysisNet(use_attn=self.use_attn, dtype=dt)
-        self.res_decoder = SynthesisNet(dtype=dt)
-        self.prior_encoder = AnalysisPriorNet(dtype=dt)
-        self.prior_decoder = SynthesisPriorNet(dtype=dt)
-        self.bit_estimator_mv = BitEstimator(OUT_CHANNEL_MV)
-        self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
+        cn, cm, cmv = self.channels_n, self.channels_m, self.channels_mv
+        self.optic_flow = SpyNet(
+            widths=self.spynet_widths, kernel=self.spynet_kernel, dtype=dt
+        )
+        self.mv_encoder = AnalysisMVNet(
+            conv_channels=cmv, out_channels=cmv, use_attn=self.use_attn, dtype=dt
+        )
+        self.mv_decoder = SynthesisMVNet(conv_channels=cmv, dtype=dt)
+        self.warpnet = WarpNet(width=self.warp_width, dtype=dt)
+        self.res_encoder = AnalysisNet(
+            conv_channels=cn, out_channels=cm, use_attn=self.use_attn, dtype=dt
+        )
+        self.res_decoder = SynthesisNet(conv_channels=cn, dtype=dt)
+        self.prior_encoder = AnalysisPriorNet(conv_channels=cn, dtype=dt)
+        self.prior_decoder = SynthesisPriorNet(
+            conv_channels=cn, out_channels=cm, dtype=dt
+        )
+        self.bit_estimator_mv = BitEstimator(cmv)
+        self.bit_estimator_z = BitEstimator(cn)
 
     def __call__(self, x_cur, x_ref, training: bool, rng=None):
         rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3

@@ -68,6 +68,19 @@ def get_codec_model(
         else:
             module = RLVC(entropy_type="rpm", dtype=dtype)
             family = "rlvc"
+    elif name == "DVC-TINY":
+        # miniature DVC for golden-RD tests (this framework's own; ships
+        # trained weights in assets/)
+        module = DVC(
+            channels_n=32,
+            channels_m=48,
+            channels_mv=32,
+            spynet_widths=(8, 16, 8, 4),
+            spynet_kernel=5,
+            warp_width=16,
+            dtype=dtype,
+        )
+        family = "dvc"
     elif name.startswith("RLVC") and "-TINY" in name:
         # miniature recurrent config for golden-RD tests (this framework's
         # own; ships trained weights in assets/) — exercises the
