@@ -39,28 +39,42 @@ class Base(nn.Module):
     use_er: bool = False
     s2h_stage: int = 0  # 0 soft, 1/2 staged-hard (training only)
     detach_mode: tuple = (0, 1)
+    # width knobs for miniature configs (Base-TINY golden-RD assets);
+    # defaults reproduce the reference geometry
+    channels_n: int = OUT_CHANNEL_N
+    channels_m: int = OUT_CHANNEL_M
+    channels_mv: int = OUT_CHANNEL_MV
+    gen_width_mv: int = 192   # ER generator widths (models.py:1587-1589)
+    gen_width: int = 128
+    spynet_widths: tuple = (32, 64, 32, 16)
+    spynet_kernel: int = 7
+    warp_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
-        self.optic_flow = SpyNet(dtype=dt)
-        self.mv_encoder = AnalysisMVNet(dtype=dt)
-        self.mv_decoder = SynthesisMVNet(dtype=dt)
-        self.warpnet = WarpNet(dtype=dt)
-        self.bit_estimator_mv = BitEstimator(OUT_CHANNEL_MV)
-        self.res_encoder = AnalysisNet(dtype=dt)
-        self.res_decoder = SynthesisNet(dtype=dt)
-        self.prior_encoder = AnalysisPriorNet(dtype=dt)
-        self.prior_decoder = SynthesisPriorNet(
-            out_channels=OUT_CHANNEL_M * 2 if self.use_ec else OUT_CHANNEL_M, dtype=dt
+        cn, cm, cmv = self.channels_n, self.channels_m, self.channels_mv
+        self.optic_flow = SpyNet(
+            widths=self.spynet_widths, kernel=self.spynet_kernel, dtype=dt
         )
-        self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
+        self.mv_encoder = AnalysisMVNet(conv_channels=cmv, out_channels=cmv, dtype=dt)
+        self.mv_decoder = SynthesisMVNet(conv_channels=cmv, dtype=dt)
+        self.warpnet = WarpNet(width=self.warp_width, dtype=dt)
+        self.bit_estimator_mv = BitEstimator(cmv)
+        self.res_encoder = AnalysisNet(conv_channels=cn, out_channels=cm, dtype=dt)
+        self.res_decoder = SynthesisNet(conv_channels=cn, dtype=dt)
+        self.prior_encoder = AnalysisPriorNet(conv_channels=cn, dtype=dt)
+        self.prior_decoder = SynthesisPriorNet(
+            conv_channels=cn,
+            out_channels=cm * 2 if self.use_ec else cm, dtype=dt
+        )
+        self.bit_estimator_z = BitEstimator(cn)
         if self.use_er:
             # config-driven CodecNet stacks, exactly the reference's
             # mv/res/resprior GenNet configs (models.py:1587-1589)
-            self.mv_gen = CodecNet(er_gen_config(OUT_CHANNEL_MV, 192), dtype=dt)
-            self.res_gen = CodecNet(er_gen_config(OUT_CHANNEL_M, 128), dtype=dt)
-            self.z_gen = CodecNet(er_gen_config(OUT_CHANNEL_N, 128), dtype=dt)
+            self.mv_gen = CodecNet(er_gen_config(cmv, self.gen_width_mv), dtype=dt)
+            self.res_gen = CodecNet(er_gen_config(cm, self.gen_width), dtype=dt)
+            self.z_gen = CodecNet(er_gen_config(cn, self.gen_width), dtype=dt)
 
     def _er_correct(self, gen, latent, training):
         """Residual ER prediction from the rounded latent (models.py:1623-1632)."""

@@ -146,7 +146,26 @@ def get_codec_model(
             )
         family = "lsvc"
     elif name.startswith("Base"):
-        module = Base(use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype)
+        if "-TINY" in name:
+            # miniature Base-ER for golden-RD tests (this framework's own;
+            # ships trained weights in assets/)
+            module = Base(
+                use_ec="-EC" in name,
+                use_er="-ER" in name,
+                channels_n=32,
+                channels_m=48,
+                channels_mv=32,
+                gen_width_mv=48,
+                gen_width=32,
+                spynet_widths=(8, 16, 8, 4),
+                spynet_kernel=5,
+                warp_width=16,
+                dtype=dtype,
+            )
+        else:
+            module = Base(
+                use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype
+            )
         family = "base"
     elif name == "SSF-TINY":
         # miniature SSF for golden-RD tests / fast experiments (this

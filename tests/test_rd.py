@@ -481,3 +481,58 @@ class TestGoldenRDDVC:
         assert bpps[0] < bpps[1] < bpps[2], bpps
         assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
         assert psnrs[-1] > 15.0, psnrs
+
+
+class TestGoldenRDBase:
+    """Seventh-family RD evidence: Base-ER-TINY (DVC skeleton with
+    error-restoration generator stacks, reference models.py:1550-1835)
+    trained at 3 lambda levels with the soft2hard three-pass schedule
+    (assets/tiny_base_l{0,2,4}.npz, f16-stored)."""
+
+    @staticmethod
+    def _load(level: int):
+        path = os.path.join(ASSETS, f"tiny_base_l{level}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"missing asset {path}")
+        data = np.load(path)
+        tree: dict = {}
+        for k in data.files:
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(data[k].astype(np.float32))
+        return tree
+
+    def test_monotone_bpp_psnr_across_levels_real_bits(self):
+        from fastvideocodec_tpu.coder.video import (
+            base_compress_gop,
+            base_decompress_gop,
+        )
+        from fastvideocodec_tpu.gop import rollout
+
+        spec = get_codec_model("Base-ER-TINY")
+        rng = np.random.default_rng(123)  # held-out clip
+        gop = jnp.asarray(synth_gop(rng))
+
+        bpps, psnrs = [], []
+        for level in (0, 2, 4):
+            params = self._load(level)
+            streams, recon, bits = base_compress_gop(spec, params, gop)
+            dec = base_decompress_gop(spec, params, gop[0], streams)
+            assert bool(jnp.all(dec == recon))
+            bpp = bits / ((T - 1) * H * W)
+            mse = float(jnp.mean((recon - gop[1:]) ** 2))
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+            bpps.append(bpp)
+            psnrs.append(psnr)
+            _, m = rollout(spec, params, gop, training=False, rng=None)
+            bits_est = float(jnp.sum(m["bpp_est"])) * H * W
+            n_streams = 3 * (T - 1)
+            excess = bits - bits_est
+            assert abs(excess) < n_streams * 64 + 0.08 * bits_est, (
+                level, bits, bits_est
+            )
+        assert bpps[0] < bpps[1] < bpps[2], bpps
+        assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
+        assert psnrs[-1] > 15.0, psnrs
