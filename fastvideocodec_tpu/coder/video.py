@@ -367,12 +367,23 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
 # ---------------------------------------------------------------------------
 
 
+def _resolve_streams(obj):
+    """Recursively replace AsyncCoder futures with their bytes."""
+    if hasattr(obj, "result") and callable(obj.result):
+        return obj.result()
+    if isinstance(obj, dict):
+        return {k: _resolve_streams(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_streams(v) for v in obj]
+    return obj
+
+
 class HyperpriorCoder:
     """Real coding for one SSFHyperprior (reference Hyperprior,
     models.py:1958-1999): z via the factorized bottleneck tables, y via the
     scale-table Gaussian coder with decoded (scales, means)."""
 
-    def __init__(self, spec, params, name: str, sp: bool = False):
+    def __init__(self, spec, params, name: str, sp: bool = False, coder=None):
         from fastvideocodec_tpu.coder.service import FactorizedCodec, GaussianCodec
 
         self.spec = spec
@@ -385,6 +396,11 @@ class HyperpriorCoder:
         p = params["params"][name]["bottleneck"]
         self.z_codec = FactorizedCodec({k: np.asarray(v) for k, v in p.items()})
         self.y_codec = GaussianCodec()
+        # optional AsyncCoder: y-stream coding runs on host threads while
+        # the device chain continues (nothing device-side consumes the y
+        # bytes — recon derives from round(y - means)); z stays synchronous
+        # because z_hat = decompress(compress(z)) feeds means/scales
+        self.coder = coder
 
     def _sub(self, fn, *args):
         # jit-cached per (module, submodule name, fn) — see _apply
@@ -425,9 +441,15 @@ class HyperpriorCoder:
         z_stream = self.z_codec.compress(np.asarray(z))
         z_hat = jnp.asarray(self.z_codec.decompress(z_stream, z.shape))
         means, scales = self._means_scales(z_hat, y.shape)
-        y_stream = self.y_codec.compress(
-            np.asarray(y), np.asarray(scales), np.asarray(means)
-        )
+        if self.coder is not None:
+            y_stream = self.coder.submit(
+                self.y_codec.compress,
+                np.asarray(y), np.asarray(scales), np.asarray(means),
+            )
+        else:
+            y_stream = self.y_codec.compress(
+                np.asarray(y), np.asarray(scales), np.asarray(means)
+            )
         round_y = jnp.round(y - means)
         y_out, new_prior = self._finish(round_y, means, q_y_prior)
         return (
@@ -460,10 +482,13 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     (reference compress path of SSF models). gop: [T, B, H, W, 3].
 
     Returns (streams, recon [T, B, H, W, 3], total_bits)."""
+    from fastvideocodec_tpu.coder import AsyncCoder
+
     m = spec.module
-    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
-    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
-    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+    coder = AsyncCoder(workers=2)
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior", coder=coder)
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", coder=coder)
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", coder=coder)
 
     y0 = _apply(spec, params, _m_img_encoder, gop[0])
     key_streams, y0_hat, _ = img_hp.compress(y0)
@@ -484,8 +509,13 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
             {"motion": mot_s, "residual": res_s,
              "y_mot_shape": tuple(y_mot.shape), "y_res_shape": tuple(y_res.shape)}
         )
-    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
-               "inter": inter_streams}
+    streams = _resolve_streams(
+        {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+         "inter": inter_streams}
+    )
+    coder.shutdown()
+    key_streams = streams["keyframe"]
+    inter_streams = streams["inter"]
     bits = 8 * (
         len(key_streams["z"]) + len(key_streams["y"])
         + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
@@ -528,12 +558,15 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     hyperpriors' SPnets re-predict y from decoded symbols on both sides.
 
     gop: [T, B, H, W, 3]. Returns (streams, recon, total_bits)."""
+    from fastvideocodec_tpu.coder import AsyncCoder
+
     m = spec.module
     sp1 = m.super_prec and m.sp_stage >= 1
     sp2 = m.super_prec and m.sp_stage >= 2
-    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
-    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1)
-    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2)
+    coder = AsyncCoder(workers=2)
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior", coder=coder)
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1, coder=coder)
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2, coder=coder)
 
     y0 = _apply(spec, params, _m_img_encoder, gop[0])
     key_streams, y0_hat, _ = img_hp.compress(y0)
@@ -567,8 +600,13 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
              "y_mot_shape": tuple(y_motion.shape),
              "y_res_shape": tuple(y_res.shape)}
         )
-    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
-               "inter": inter_streams}
+    streams = _resolve_streams(
+        {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+         "inter": inter_streams}
+    )
+    coder.shutdown()
+    key_streams = streams["keyframe"]
+    inter_streams = streams["inter"]
     bits = 8 * (
         len(key_streams["z"]) + len(key_streams["y"])
         + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
@@ -629,11 +667,14 @@ def mcvc_compress_gop(spec: CodecSpec, params, gop: jax.Array, mask):
     (streams, enhanced recon [T, ...], total_bits)."""
     from fastvideocodec_tpu.models.mcvc import mask_views
 
+    from fastvideocodec_tpu.coder import AsyncCoder
+
     m = spec.module
     ia = m.imbalanced_correlation
-    img_hp = HyperpriorCoder(spec, params, "img_hyperprior")
-    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior")
-    res_hp = HyperpriorCoder(spec, params, "res_hyperprior")
+    coder = AsyncCoder(workers=2)
+    img_hp = HyperpriorCoder(spec, params, "img_hyperprior", coder=coder)
+    mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", coder=coder)
+    res_hp = HyperpriorCoder(spec, params, "res_hyperprior", coder=coder)
     mask = jnp.asarray(mask)
 
     x0 = mask_views(gop[0], mask)
@@ -669,8 +710,13 @@ def mcvc_compress_gop(spec: CodecSpec, params, gop: jax.Array, mask):
              "y_mot_shape": tuple(y_motion.shape),
              "y_res_shape": tuple(y_res.shape)}
         )
-    streams = {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
-               "inter": inter_streams, "mask": np.asarray(mask).tolist()}
+    streams = _resolve_streams(
+        {"keyframe": key_streams, "y0_shape": tuple(y0.shape),
+         "inter": inter_streams, "mask": np.asarray(mask).tolist()}
+    )
+    coder.shutdown()
+    key_streams = streams["keyframe"]
+    inter_streams = streams["inter"]
     bits = 8 * (
         len(key_streams["z"]) + len(key_streams["y"])
         + sum(len(s["motion"]["z"]) + len(s["motion"]["y"])
