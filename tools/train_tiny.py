@@ -1,0 +1,226 @@
+"""Regenerate the tiny golden-RD checkpoints shipped in assets/.
+
+tests/test_rd.py ships trained miniature checkpoints per codec family
+(assets/tiny_{family}_l{level}.npz) and asserts monotone real-bitstream
+bpp/PSNR across lambda levels on a held-out clip.  This tool reproduces
+those assets on one TPU chip with the recipes documented in
+assets/TINY_RD.md (synthetic 64x64 motion clips; loss r*mse + bpp + aux;
+the reference lambda table models.py:72-76 keyed by compression_level).
+
+Usage:
+    python tools/train_tiny.py rlvc dvc base mcvc  [--steps N] [--out DIR]
+
+The data generators are imported from tests/test_rd.py so the training
+distribution and the regression's held-out clip (seed 123 — never drawn
+here; training uses seed 0) stay a single source of truth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from fastvideocodec_tpu.models import get_codec_model
+from fastvideocodec_tpu.models.mcvc import sample_view_mask
+from fastvideocodec_tpu.ops import bits_estimate
+from fastvideocodec_tpu.train import TrainConfig, make_train_step
+from fastvideocodec_tpu.train.trainer import make_optimizer
+
+from test_rd import T, H, W, synth_gop, TestGoldenRDMCVC  # noqa: E402
+
+ASSETS = os.path.join(REPO, "fastvideocodec_tpu", "assets")
+
+# per-family recipe: (spec factory, lambda levels, steps)
+FAMILIES = {
+    "rlvc": (lambda lvl: get_codec_model("RLVC-TINY", compression_level=lvl),
+             (0, 2, 4), 800),
+    "dvc": (lambda lvl: get_codec_model("DVC-TINY", compression_level=lvl),
+            (0, 2, 4), 800),
+    "base": (lambda lvl: get_codec_model("Base-ER-TINY", compression_level=lvl),
+             (0, 2, 4), 800),
+    "mcvc": (lambda lvl: get_codec_model(
+        "MCVC-IA-TINY", num_views=3, compression_level=lvl), (0, 3, 6), 1200),
+}
+
+
+def flatten_f16(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_f16(v, key + "/"))
+        else:
+            out[key] = np.asarray(v).astype(np.float16)
+    return out
+
+
+def train_single_view(spec, steps: int, seed: int = 0):
+    """RLVC/DVC/Base recipe: make_train_step over the per-family rollout
+    (Base-ER with the soft2hard three-pass schedule, models.py:318-344)."""
+    cfg = TrainConfig(
+        learning_rate=1e-4,
+        soft2hard=getattr(spec.module, "use_er", False),
+    )
+    from fastvideocodec_tpu.cli.train import init_params
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    gop0 = jnp.asarray(synth_gop(rng))
+    params = init_params(spec, gop0, key)
+    init_fn, step_fn = make_train_step(spec, cfg)
+    opt_state = init_fn(params)
+
+    # The chip is reached over a per-call RPC tunnel, so one jit call per
+    # step is latency-bound: scan CHUNK optimizer steps per call instead.
+    CHUNK = 25
+
+    @jax.jit
+    def multi_step(p, st, gops, keys):
+        def body(carry, inp):
+            p_, st_ = carry
+            g, k = inp
+            p_, st_, m = step_fn(p_, st_, g, k)
+            return (p_, st_), m
+        (p, st), ms = jax.lax.scan(body, (p, st), (gops, keys))
+        return p, st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    t0 = time.time()
+    for s in range(0, steps, CHUNK):
+        n = min(CHUNK, steps - s)
+        gops = jnp.stack([jnp.asarray(synth_gop(rng)) for _ in range(n)])
+        key, *sks = jax.random.split(key, n + 1)
+        if n != CHUNK:  # tail chunk would retrace; run it stepwise
+            jstep = jax.jit(step_fn)
+            for i in range(n):
+                params, opt_state, m = jstep(params, opt_state, gops[i], sks[i])
+        else:
+            params, opt_state, m = multi_step(
+                params, opt_state, gops, jnp.stack(sks))
+        print(
+            f"  step {s + n - 1:4d} loss {float(m['loss']):9.2f} "
+            f"psnr {float(m['psnr']):6.2f} bpp {float(m['bpp']):6.3f} "
+            f"({time.time() - t0:.0f}s)", flush=True,
+        )
+    return params
+
+
+def train_mcvc(spec, steps: int, seed: int = 0):
+    """MCVC-IA resilience recipe (models.py:2146-2183): per-GOP sampled view
+    failures, distortion supervised over ALL views (failed views included, so
+    the cross-view backup attention decoders learn to reconstruct lost
+    views), rate + aux over the full __call__ chain."""
+    r = spec.r
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    gen = TestGoldenRDMCVC._synth_mv_gop
+    gop0 = jnp.asarray(gen(rng))
+    mask0 = jnp.ones((spec.extras["num_views"],), jnp.float32)
+    params = jax.jit(
+        lambda k, g, mk: spec.module.init(
+            {"params": k}, g, mk, training=False)
+    )(key, gop0, mask0)
+    cfg = TrainConfig(learning_rate=1e-4)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, gop, mask, rng_):
+        recons, liks, _ = spec.module.apply(
+            p, gop, mask, training=True, rng=rng_)
+        denom = gop.shape[1] * gop.shape[2] * gop.shape[3]
+        bpp = sum(
+            bits_estimate(lik["y"]) + bits_estimate(lik["z"])
+            for d in liks for lik in d.values()
+        ) / denom
+        mse = jnp.mean((recons - gop) ** 2)  # ALL views, dead ones included
+        aux = spec.module.apply(p, method="aux_loss")
+        loss = r * mse * gop.shape[0] + bpp + aux
+        return loss, {"loss": loss, "mse": mse, "bpp": bpp}
+
+    def jstep(p, st, gop, mask, rng_):
+        (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, gop, mask, rng_)
+        updates, st = tx.update(grads, st, p)
+        return optax.apply_updates(p, updates), st, m
+
+    CHUNK = 25  # amortize the per-call RPC latency of the tunneled chip
+
+    @jax.jit
+    def multi_step(p, st, gops, masks, keys):
+        def body(carry, inp):
+            p_, st_ = carry
+            g, mk, k = inp
+            p_, st_, m = jstep(p_, st_, g, mk, k)
+            return (p_, st_), m
+        (p, st), ms = jax.lax.scan(body, (p, st), (gops, masks, keys))
+        return p, st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    t0 = time.time()
+    V = spec.extras["num_views"]
+    jstep1 = jax.jit(jstep)
+    for s in range(0, steps, CHUNK):
+        n = min(CHUNK, steps - s)
+        gops = jnp.stack([jnp.asarray(gen(rng)) for _ in range(n)])
+        masks = jnp.stack([
+            jnp.asarray(sample_view_mask(
+                rng, 1, V, max_failed=1, failure_probability=0.2))
+            for _ in range(n)
+        ])
+        key, *sks = jax.random.split(key, n + 1)
+        if n != CHUNK:  # tail chunk would retrace; run it stepwise
+            for i in range(n):
+                params, opt_state, m = jstep1(
+                    params, opt_state, gops[i], masks[i], sks[i])
+        else:
+            params, opt_state, m = multi_step(
+                params, opt_state, gops, masks, jnp.stack(sks))
+        psnr = 10 * np.log10(1.0 / max(float(m["mse"]), 1e-12))
+        print(
+            f"  step {s + n - 1:4d} loss {float(m['loss']):9.2f} "
+            f"psnr {psnr:6.2f} bpp {float(m['bpp']):6.3f} "
+            f"({time.time() - t0:.0f}s)", flush=True,
+        )
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("families", nargs="+", choices=sorted(FAMILIES))
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override per-family step count (0 = recipe value)")
+    ap.add_argument("--levels", type=int, nargs="*", default=None,
+                    help="subset of the family's lambda levels to (re)train")
+    ap.add_argument("--out", default=ASSETS)
+    args = ap.parse_args()
+
+    for fam in args.families:
+        make_spec, levels, steps = FAMILIES[fam]
+        steps = args.steps or steps
+        if args.levels is not None:
+            levels = [l for l in levels if l in args.levels]
+        for lvl in levels:
+            spec = make_spec(lvl)
+            print(f"[{fam} l{lvl}] {spec.name} lambda={spec.r:.0f} "
+                  f"{steps} steps", flush=True)
+            if fam == "mcvc":
+                params = train_mcvc(spec, steps)
+            else:
+                params = train_single_view(spec, steps)
+            path = os.path.join(args.out, f"tiny_{fam}_l{lvl}.npz")
+            np.savez(path, **flatten_f16(params))
+            print(f"  saved {path} "
+                  f"({os.path.getsize(path) / 1e6:.1f} MB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
