@@ -33,6 +33,7 @@ implementation via custom_vjp, so training gradients are exact.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,26 +53,99 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
-                 R, H, W, C, Hh, Wh, out_dtype, pixel_mode=False):
+                 R, H, W, C, Hh, Wh, out_dtype, pixel_mode=False,
+                 nB=1, nI=1, nJ=1, nbuf=2, strip=False, th=TILE_H):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    p = th * TILE_W
 
-    # One 3-D DMA: the [C, Hh, Wh] halo window. Padded-image coords offset
-    # by +R cancel the -R halo origin, so windows start exactly at
-    # (ti*TILE_H, tj*TILE_W).
-    cp = pltpu.make_async_copy(
-        xpad_ref.at[b, :, pl.ds(ti * TILE_H, Hh), pl.ds(tj * TILE_W, Wh)],
-        halo_scratch,
-        dma_sem,
-    )
-    cp.start()
+    # DMA schedule. The warp is DMA-row-issue-bound, not bandwidth- or
+    # MAC-bound (measured: runtime is R-invariant and only weakly
+    # C-dependent): a [C, Hh, Wh] halo window is C*Hh strided rows of just
+    # Wh*itemsize bytes, and at ~10 ns/row the engine trails the MXU badly.
+    #
+    # strip mode: ONE DMA per tile ROW — the [C, Hh, Ws] strip covering all
+    # nJ tiles (Ws = W + Wh - TILE_W). Same row count per DMA but nJ times
+    # fewer DMAs, and each tile slices its halo out of VMEM at a 128-aligned
+    # lane offset. Double-buffered across rows (slot = row % 2): row r+1's
+    # strip streams while row r computes, so even the residual row-issue
+    # cost overlaps the row's nJ matmuls.
+    #
+    # tile mode (strip doesn't fit VMEM): per-tile [C, Hh, Wh] halo windows,
+    # double-buffered across grid steps when nbuf == 2.
+    if strip:
+        row = b * nI + ti
+        slot = jax.lax.rem(row, nbuf) if nbuf > 1 else 0
+
+        def start_strip_dma(rr, s):
+            bb = rr // nI
+            ii = jax.lax.rem(rr, nI)
+            pltpu.make_async_copy(
+                xpad_ref.at[bb, :, pl.ds(ii * th, Hh), :],
+                halo_scratch.at[s],
+                dma_sem.at[s],
+            ).start()
+
+        if nbuf == 1:
+            @pl.when(tj == 0)
+            def _():
+                start_strip_dma(row, 0)
+        else:
+            @pl.when((row == 0) & (tj == 0))
+            def _():
+                start_strip_dma(0, 0)
+
+            @pl.when((tj == 0) & (row + 1 < nB * nI))
+            def _():
+                start_strip_dma(row + 1, jax.lax.rem(row + 1, nbuf))
+
+        # the wait is once per row (tj == 0); later tiles in the row run in
+        # the same sequential grid after the wait has already passed
+        @pl.when(tj == 0)
+        def _():
+            pltpu.make_async_copy(
+                xpad_ref.at[b, :, pl.ds(ti * th, Hh), :],
+                halo_scratch.at[slot],
+                dma_sem.at[slot],
+            ).wait()
+    else:
+        g = (b * nI + ti) * nJ + tj
+        slot = jax.lax.rem(g, nbuf) if nbuf > 1 else 0
+
+        def start_halo_dma(bb, ii, jj, s):
+            # One 3-D DMA: the [C, Hh, Wh] halo window. Padded-image coords
+            # offset by +R cancel the -R halo origin, so windows start
+            # exactly at (ii*th, jj*TILE_W).
+            pltpu.make_async_copy(
+                xpad_ref.at[
+                    bb, :, pl.ds(ii * th, Hh), pl.ds(jj * TILE_W, Wh)
+                ],
+                halo_scratch.at[s],
+                dma_sem.at[s],
+            ).start()
+
+        if nbuf == 1:
+            start_halo_dma(b, ti, tj, 0)
+        else:
+            @pl.when(g == 0)
+            def _():
+                start_halo_dma(b, ti, tj, 0)
+
+            @pl.when(g + 1 < nB * nI * nJ)
+            def _():
+                nxt = g + 1
+                jn = jax.lax.rem(nxt, nJ)
+                t = nxt // nJ
+                in_ = jax.lax.rem(t, nI)
+                bn = t // nI
+                start_halo_dma(bn, in_, jn, jax.lax.rem(nxt, nbuf))
 
     flow = flow_ref[0, 0, 0].astype(jnp.float32)  # [P, 2]
 
     # absolute output pixel coordinates from the flattened tile index
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    ii = (ti * TILE_H + pidx // TILE_W).astype(jnp.float32)  # [P, 1]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    ii = (ti * th + pidx // TILE_W).astype(jnp.float32)  # [P, 1]
     jj = (tj * TILE_W + pidx % TILE_W).astype(jnp.float32)
 
     if pixel_mode:
@@ -88,7 +162,7 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
         sy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
 
     # halo-relative coordinates
-    hy = jnp.clip(sy - (ti * TILE_H - R), 0.0, Hh - 2.0)
+    hy = jnp.clip(sy - (ti * th - R), 0.0, Hh - 2.0)
     hx = jnp.clip(sx - (tj * TILE_W - R), 0.0, Wh - 2.0)
     y0 = jnp.floor(hy)  # [P, 1]
     x0 = jnp.floor(hx)
@@ -96,13 +170,20 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     tx = hx - x0
 
     # vertical 2-tap lerp matrix Wr [P, Hh]
-    hh = jax.lax.broadcasted_iota(jnp.int32, (P, Hh), 1).astype(jnp.float32)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (p, Hh), 1).astype(jnp.float32)
     wr = jnp.where(hh == y0, 1.0 - ty, 0.0) + jnp.where(hh == y0 + 1.0, ty, 0.0)
     # horizontal 2-tap weights Wc [P, Wh]
-    xx = jax.lax.broadcasted_iota(jnp.int32, (P, Wh), 1).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (p, Wh), 1).astype(jnp.float32)
     wc = jnp.where(xx == x0, 1.0 - tx, 0.0) + jnp.where(xx == x0 + 1.0, tx, 0.0)
 
-    cp.wait()
+    if not strip:
+        # wait for THIS tile's halo (started by the previous grid step, or
+        # by the warm-up branch above when g == 0)
+        pltpu.make_async_copy(
+            xpad_ref.at[b, :, pl.ds(ti * th, Hh), pl.ds(tj * TILE_W, Wh)],
+            halo_scratch.at[slot],
+            dma_sem.at[slot],
+        ).wait()
 
     if out_dtype == jnp.bfloat16:
         mm_dtype, mm_prec = jnp.bfloat16, None
@@ -113,9 +194,14 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     # block is [P, C] (pixels in sublanes, channels in lanes) — a [.., C, P, 1]
     # layout would pad the trailing 1 to 128 lanes and blow VMEM at C=48
     for c in range(C):
+        if strip:
+            # 128-aligned dynamic lane slice straight off the VMEM ref
+            rhs = halo_scratch[slot, c, :, pl.ds(tj * TILE_W, Wh)]
+        else:
+            rhs = halo_scratch[slot, c]
         e = jax.lax.dot_general(
             wr,
-            halo_scratch[c].astype(mm_dtype),
+            rhs.astype(mm_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_prec,
@@ -124,58 +210,92 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
         out_ref[0, 0, 0, :, c : c + 1] = s.astype(out_dtype)  # [P, 1]
 
 
+def _tile_h(H: int, W: int, C: int, R: int, itemsize: int) -> int:
+    """Tile height. Pinned to TILE_H=8: taller tiles were hypothesized to
+    win by cutting the halo's vertical read amplification (Hh/th source
+    rows per output row — R=56: th=8 touches 128 halo rows per 8 output
+    rows, th=32 only 152 per 32), but a chip sweep (tools/warp_bench.py,
+    FVC_WARP_TH override) measured th=16 NO faster where it compiles
+    (rgb 1080p R=56: 67 ms vs 65 ms at th=8) and scoped-VMEM OOM
+    everywhere else (Mosaic's stack temporaries — the per-channel f32 E
+    bands — scale with th and blow the 16 MB limit long before the
+    scratch model predicts). The kernel is not halo-MAC-bound; th=8
+    keeps every supported shape compiling with the strip DMA schedule."""
+    forced = os.environ.get("FVC_WARP_TH", "")
+    if forced:
+        return int(forced)
+    return TILE_H
+
+
 def _pallas_warp(
     img: jax.Array, flow: jax.Array, R: int, interpret: bool = False,
     pixel_mode: bool = False,
 ) -> jax.Array:
     B, H, W, C = img.shape
-    # halo dims rounded to the (8, 128) tile so VMEM scratch stays aligned
-    Hh = _round_up(TILE_H + 2 * R + 1, TILE_H)
+    th = _tile_h(H, W, C, R, img.dtype.itemsize)
+    p = th * TILE_W
+    # halo dims rounded to (8, 128) so VMEM scratch stays tile-aligned
+    Hh = _round_up(th + 2 * R + 1, 8)
     Wh = _round_up(TILE_W + 2 * R + 1, TILE_W)
-    nI, nJ = H // TILE_H, W // TILE_W
+    nI, nJ = H // th, W // TILE_W
 
-    # channel-planar padded source: [B, C, H + Hh - TILE_H, W + Wh - TILE_W]
+    # channel-planar padded source: [B, C, H + Hh - th, W + Wh - TILE_W]
     xpad = jnp.pad(
         img.transpose(0, 3, 1, 2),
-        ((0, 0), (0, 0), (R, Hh - TILE_H - R), (R, Wh - TILE_W - R)),
+        ((0, 0), (0, 0), (R, Hh - th - R), (R, Wh - TILE_W - R)),
         mode="edge",
     )
     # pre-tiled flow: [B, nI, nJ, P, 2]
     flow_t = (
-        flow.reshape(B, nI, TILE_H, nJ, TILE_W, 2)
+        flow.reshape(B, nI, th, nJ, TILE_W, 2)
         .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, nI, nJ, P, 2)
+        .reshape(B, nI, nJ, p, 2)
     )
 
+    # DMA granularity + buffering (see _warp_kernel's schedule comment):
+    # row strips double-buffered when two fit in VMEM (~16 MB/core, leaving
+    # room for the f32 E band, weight matrices, and the out block);
+    # otherwise per-tile halo windows (double-buffered when THOSE fit).
+    Ws = W + Wh - TILE_W
+    itemsize = img.dtype.itemsize
+    if 2 * C * Hh * Ws * itemsize <= 10 * 2**20:
+        strip, nbuf = True, 2
+    elif C * Hh * Ws * itemsize <= 10 * 2**20:
+        strip, nbuf = True, 1
+    elif 2 * C * Hh * Wh * itemsize <= 10 * 2**20:
+        strip, nbuf = False, 2
+    else:
+        strip, nbuf = False, 1
     kernel = functools.partial(
         _warp_kernel, R=R, H=H, W=W, C=C, Hh=Hh, Wh=Wh, out_dtype=img.dtype,
-        pixel_mode=pixel_mode,
+        pixel_mode=pixel_mode, nB=B, nI=nI, nJ=nJ, nbuf=nbuf, strip=strip,
+        th=th,
     )
     out = pl.pallas_call(
         kernel,
         grid=(B, nI, nJ),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, P, 2),
+                (1, 1, 1, p, 2),
                 lambda b, i, j: (b, i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, P, C),
+            (1, 1, 1, p, C),
             lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, P, C), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, p, C), img.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, Hh, Wh), img.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nbuf, C, Hh, Ws if strip else Wh), img.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
     )(flow_t, xpad)
     # untile: [B, nI, nJ, P, C] -> [B, H, W, C]
-    out = out.reshape(B, nI, nJ, TILE_H, TILE_W, C)
+    out = out.reshape(B, nI, nJ, th, TILE_W, C)
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
