@@ -120,3 +120,33 @@ class TestShardedParity:
             float(m1["grad_norm"]), float(m2["grad_norm"]), atol=1e-4
         )
         _tree_close(p1, p2, atol=3e-4)
+
+
+class TestGlobalMesh:
+    """parallel/distributed.py: the hybrid ICI/DCN mesh builder (single
+    process here — the axis-layout contract is what's testable without a
+    pod: data fills leftover devices, bad factorizations raise)."""
+
+    def test_fills_data_axis(self):
+        from fastvideocodec_tpu.parallel.distributed import global_mesh
+
+        n = len(jax.devices())
+        if n < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = global_mesh(view=2, frame=2)
+        assert mesh.axis_names == ("data", "view", "frame")
+        assert mesh.devices.shape == (n // 4, 2, 2)
+        # device order is process-major so 'data' is the outermost
+        # (DCN-crossing) axis
+        assert mesh.devices.flatten().tolist() == jax.devices()
+
+    def test_rejects_bad_factorization(self):
+        from fastvideocodec_tpu.parallel.distributed import global_mesh
+
+        n = len(jax.devices())
+        if n < 8:
+            pytest.skip("needs 8 virtual devices")
+        with pytest.raises(ValueError):
+            global_mesh(view=3)  # 8 % 3 != 0
+        with pytest.raises(ValueError):
+            global_mesh(data=n, view=2)  # data*view > n
