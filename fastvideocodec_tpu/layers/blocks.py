@@ -136,6 +136,8 @@ class MEBasic(nn.Module):
 
     widths: tuple = (32, 64, 32, 16)
     kernel: int = 7
+    out_channels: int = 2  # 8 for the SpyNet s2d-domain levels (polyphase
+    # full-res flow: 2x2x2 channels depth-to-spaced by the caller)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,7 +147,7 @@ class MEBasic(nn.Module):
             x = jax.nn.relu(
                 nn.Conv(feats, (k, k), padding=k // 2, dtype=self.dtype)(x)
             )
-        return nn.Conv(2, (k, k), padding=k // 2, dtype=self.dtype)(x)
+        return nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=self.dtype)(x)
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,13 @@ import numpy as np
 from flax import linen as nn
 
 from fastvideocodec_tpu.layers.blocks import MEBasic
-from fastvideocodec_tpu.ops.warp import avg_pool2, bilinear_upsample_x2, flow_warp
+from fastvideocodec_tpu.ops.warp import (
+    avg_pool2,
+    bilinear_upsample_x2,
+    depth_to_space,
+    flow_warp,
+    space_to_depth,
+)
 
 
 class SpyNet(nn.Module):
@@ -32,6 +38,15 @@ class SpyNet(nn.Module):
     kernel: int = 7                   # MEBasic kernel size (all levels), or
     kernels: tuple = ()               # per-level sizes, coarsest first —
     # fine levels refine by ~±1px so the TPU configs shrink their kernels
+    s2d_levels: int = 0               # TPU-native (no reference counterpart):
+    # the finest N levels run their MEBasic tower in the space-to-depth
+    # domain — the conv sees the identical full-res content as 4x channels
+    # at 1/4 the spatial positions (s2d is a permutation, no information
+    # loss) and emits full-res flow through a polyphase 8-channel output +
+    # depth-to-space. Chip-measured 2.7x faster at [15,512,1024]: the
+    # narrow-channel full-res towers are spatially bound, not MAC-bound
+    # (widths x8 cost only +25%), so quartering positions ~quarters time;
+    # the receptive field in source pixels doubles as a side effect.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,10 +70,21 @@ class SpyNet(nn.Module):
             ref = im2s[L - 1 - lvl]
             inp = jnp.concatenate([tgt, flow_warp(ref, up), up], axis=-1)
             k = self.kernels[lvl] if self.kernels else self.kernel
-            flow = up + MEBasic(
-                widths=self.widths, kernel=k,
-                dtype=self.dtype, name=f"level{lvl + 1}",
-            )(inp)
+            if lvl >= L - self.s2d_levels:
+                # s2d-domain tower: same inputs as 4x channels at 1/4 the
+                # positions; polyphase 2x2x2 output depth-to-spaces back to
+                # a full-res refinement
+                ref8 = space_to_depth(inp, 2)
+                r = MEBasic(
+                    widths=self.widths, kernel=k, out_channels=8,
+                    dtype=self.dtype, name=f"level{lvl + 1}",
+                )(ref8)
+                flow = up + depth_to_space(r, 2)
+            else:
+                flow = up + MEBasic(
+                    widths=self.widths, kernel=k,
+                    dtype=self.dtype, name=f"level{lvl + 1}",
+                )(inp)
         return flow
 
 

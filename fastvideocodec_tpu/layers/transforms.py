@@ -56,11 +56,19 @@ class PolyphaseDeconv(nn.Module):
     MXU never multiplies the zeros of the stride-dilated input: on a v5e
     the dilated lowering wastes ~(s*s-1)/(s*s) of its MACs, and the dense
     form also quadruples the output-channel dimension (better MXU lane
-    utilization at the reference's 64/96-channel widths)."""
+    utilization at the reference's 64/96-channel widths).
+
+    `act`: optional elementwise activation applied to bias + conv output
+    BEFORE the depth-to-space permutation — the same values in a different
+    order, so act(d2s(y)) == d2s(act(y)) element-for-element, but applied
+    pre-shuffle XLA fuses it into the conv epilogue instead of running a
+    separate full-tensor pass after the layout copies (measured ~6 ms on
+    the mv_decoder's widest stage at 1080p GOP16)."""
 
     features: int
     kernel_size: int = 5
     stride: int = 2
+    act: object = None  # elementwise activation fn or None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,19 +100,27 @@ class PolyphaseDeconv(nn.Module):
             padding=((-dmin, dmax), (-dmin, dmax)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        # bias + activation pre-d2s: channel block layout is (sy, sx, f), so
+        # the per-feature bias tiles s*s times along the fused channel axis
+        y = y + jnp.tile(bias.astype(self.dtype), s * s)
+        if self.act is not None:
+            y = self.act(y)
         B, H, W = y.shape[:3]
         y = y.reshape(B, H, W, s, s, self.features)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, self.features)
-        return y + bias.astype(self.dtype)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, self.features)
 
 
-def _deconv(feats, k, s, dtype):
+def _deconv(feats, k, s, dtype, act=None):
     # torch ConvTranspose2d(k, s, padding=k//2, output_padding=s-1) doubles
     # spatial dims for s=2; the polyphase form computes the identical map
-    # without the stride-dilated input (see PolyphaseDeconv).
+    # without the stride-dilated input (see PolyphaseDeconv). `act` fuses
+    # an elementwise activation pre-d2s (identical values; see above).
     if s == 2:
-        return PolyphaseDeconv(feats, kernel_size=k, dtype=dtype)
-    return nn.ConvTranspose(feats, (k, k), strides=(s, s), padding="SAME", dtype=dtype)
+        return PolyphaseDeconv(feats, kernel_size=k, act=act, dtype=dtype)
+    mod = nn.ConvTranspose(feats, (k, k), strides=(s, s), padding="SAME", dtype=dtype)
+    if act is None:
+        return mod
+    return nn.Sequential([mod, act])
 
 
 def leaky01(x):
@@ -199,7 +215,7 @@ class SynthesisMVNet(nn.Module):
         ups = [True, False] * (self.stages - 1) + [True]
         for up in ups:
             if up:
-                x = leaky01(_deconv(c, 3, 2, self.dtype)(x))
+                x = _deconv(c, 3, 2, self.dtype, act=leaky01)(x)
             else:
                 x = leaky01(_conv(c, 3, 1, self.dtype)(x))
         return _conv(self.out_channels, 3, 1, self.dtype)(x)
@@ -238,10 +254,10 @@ class SynthesisPriorNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.conv_channels
-        x = jax.nn.relu(_deconv(c, 5, 2, self.dtype)(x))
+        x = _deconv(c, 5, 2, self.dtype, act=jax.nn.relu)(x)
         if self.use_attn:
             x = SpaceTimeAttention(c, depth=self.attn_depth, dtype=self.dtype)(x)
-        x = jax.nn.relu(_deconv(c, 5, 2, self.dtype)(x))
+        x = _deconv(c, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _conv(self.out_channels, 3, 1, self.dtype)(x)
         return jnp.exp(x)
 
@@ -277,9 +293,9 @@ class SSFDecoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         m = self.mid_planes
-        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
-        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
-        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
+        x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
+        x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         return _deconv(self.out_planes, 5, 2, self.dtype)(x)
 
 
@@ -308,8 +324,8 @@ class SSFHyperDecoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         m = self.mid_planes
-        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
-        x = jax.nn.relu(_deconv(m, 5, 2, self.dtype)(x))
+        x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
+        x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         return _deconv(self.out_planes, 5, 2, self.dtype)(x)
 
 
@@ -323,9 +339,9 @@ class SSFHyperDecoderQReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         m = self.mid_planes
-        x = qrelu(_deconv(m, 5, 2, self.dtype)(x))
-        x = qrelu(_deconv(m, 5, 2, self.dtype)(x))
-        return qrelu(_deconv(self.out_planes, 5, 2, self.dtype)(x))
+        x = _deconv(m, 5, 2, self.dtype, act=qrelu)(x)
+        x = _deconv(m, 5, 2, self.dtype, act=qrelu)(x)
+        return _deconv(self.out_planes, 5, 2, self.dtype, act=qrelu)(x)
 
 
 class FlowPredictor(nn.Module):

@@ -75,6 +75,7 @@ class LSVC(nn.Module):
     spynet_widths: tuple = (32, 64, 32, 16)
     spynet_kernel: int = 7
     spynet_kernels: tuple = ()   # per-level kernel sizes, coarsest first
+    spynet_s2d_levels: int = 0   # finest-N s2d-domain towers (spynet.py)
     conv_channels: int = 0       # 0: family defaults (N=64 res, 128 mv)
     warp_width: int = 64         # WarpNet trunk width
     warp_tpu: bool = False       # use the quarter-res-trunk WarpNetTPU
@@ -86,7 +87,8 @@ class LSVC(nn.Module):
         dt = self.dtype
         self.optic_flow = SpyNet(
             widths=self.spynet_widths, kernel=self.spynet_kernel,
-            kernels=self.spynet_kernels, dtype=dt,
+            kernels=self.spynet_kernels, s2d_levels=self.spynet_s2d_levels,
+            dtype=dt,
         )
         d = self.attn_depth
         stages = 4 if self.s2d == 1 else 3

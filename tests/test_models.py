@@ -258,3 +258,75 @@ class TestCodecNet:
         net = CodecNet(((0, 3, 1, 4, 8),))
         with pytest.raises(AssertionError):
             net.init(KEY, jnp.ones((1, 8, 8, 3)))
+
+
+class TestFusedDeconvAct:
+    """PolyphaseDeconv.act applies bias+activation BEFORE the d2s permute —
+    must be element-for-element identical to post-activation (it's the
+    same values in a different order; transforms.py PolyphaseDeconv)."""
+
+    def test_bitwise_equal_to_post_activation(self):
+        from fastvideocodec_tpu.layers.transforms import (
+            PolyphaseDeconv,
+            leaky01,
+        )
+
+        x = jax.random.normal(KEY, (2, 8, 12, 16))
+        m0 = PolyphaseDeconv(24, kernel_size=3)
+        m1 = PolyphaseDeconv(24, kernel_size=3, act=leaky01)
+        params = m0.init(KEY, x)  # same param structure for both
+        y0 = leaky01(m0.apply(params, x))
+        y1 = m1.apply(params, x)
+        assert bool(jnp.all(y0 == y1))
+
+    def test_grad_matches(self):
+        from fastvideocodec_tpu.layers.transforms import (
+            PolyphaseDeconv,
+            leaky01,
+        )
+
+        x = jax.random.normal(KEY, (1, 6, 6, 8))
+        m0 = PolyphaseDeconv(4, kernel_size=5)
+        m1 = PolyphaseDeconv(4, kernel_size=5, act=leaky01)
+        params = m0.init(KEY, x)
+        g0 = jax.grad(lambda p: jnp.sum(leaky01(m0.apply(p, x)) ** 2))(params)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSpyNetS2DLevels:
+    """spynet_s2d_levels: the finest towers run in the s2d domain with a
+    polyphase full-res flow output (layers/spynet.py). Opt-in; 0 keeps the
+    reference geometry and torch weight import intact."""
+
+    def test_shapes_and_grads(self):
+        from fastvideocodec_tpu.layers.spynet import SpyNet
+
+        net = SpyNet(widths=(4, 8, 4, 4), kernel=3, s2d_levels=2)
+        im1 = jax.random.uniform(KEY, (2, 32, 32, 3))
+        im2 = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        params = jax.jit(net.init)(KEY, im1, im2)
+        flow = net.apply(params, im1, im2)
+        assert flow.shape == (2, 32, 32, 2)
+        # the two finest levels carry the 8-channel polyphase output conv
+        p = params["params"]
+        assert p["level4"]["Conv_4"]["kernel"].shape[-1] == 8
+        assert p["level3"]["Conv_4"]["kernel"].shape[-1] == 8
+        assert p["level2"]["Conv_4"]["kernel"].shape[-1] == 2
+        g = jax.grad(
+            lambda pr: jnp.sum(net.apply(pr, im1, im2) ** 2)
+        )(params)
+        assert all(
+            bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+        )
+
+    def test_zero_levels_unchanged_geometry(self):
+        from fastvideocodec_tpu.layers.spynet import SpyNet
+
+        net = SpyNet(widths=(4, 8, 4, 4), kernel=3)
+        im = jax.random.uniform(KEY, (1, 32, 32, 3))
+        params = jax.jit(net.init)(KEY, im, im)
+        p = params["params"]
+        for lvl in range(1, 5):
+            assert p[f"level{lvl}"]["Conv_4"]["kernel"].shape[-1] == 2
