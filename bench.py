@@ -159,6 +159,13 @@ def main():
     dfn = jax.jit(decode)
     out = dfn(params, iframe_s2d, mv_q, z_qs, feat_qs)
     _ = (float(out[0]), float(out[1]))
+    if xprof_dir:
+        from fastvideocodec_tpu.utils.meters import xprof_trace
+
+        with xprof_trace(xprof_dir + "_decode"):
+            out = dfn(params, iframe_s2d, mv_q, z_qs, feat_qs)
+            _ = (float(out[0]), float(out[1]))
+        print(f"decode xprof trace in {xprof_dir}_decode", file=sys.stderr)
     dts = []
     for i in range(iters):
         mv_i = jax.block_until_ready(mv_q * (0.8 + 0.04 * i))
