@@ -23,6 +23,71 @@ import jax
 import jax.numpy as jnp
 
 
+def build_lsvc_decode(module, GOP: int, H: int, W: int):
+    """Receiver-side decode graph for an LSVC module: mv synthesis + tree
+    MC + per-layer hyper/residual synthesis from quantized latents +
+    depth-to-space. Returns (decode_fn, example_inputs) where decode_fn
+    (params, iframe_s2d, mv_q, z_qs, feat_qs) reduces to two live scalars
+    (recon mean + sigma mean — sigma parameterizes the HOST entropy decode
+    so it needs an explicit consumer to stay in the timed graph).
+    Shared by bench.py and tools/speed_sweep.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvideocodec_tpu.ops import depth_to_space
+
+    bs = GOP - 1
+    sched = module.schedule(bs)
+    s2d = module.s2d
+
+    def decode(p, iframe_s2d, mv_q, z_qs, feat_qs):
+        mv_hat = module.apply(p, mv_q, method=lambda m, q: m.mv_decoder(q))
+        com = [None] * bs
+        sigma_sum = jnp.zeros((), jnp.float32)
+        for li, layer in enumerate(sched.layers):
+            sigma = module.apply(
+                p, z_qs[li], method=lambda m, z: m.prior_decoder(z)
+            )
+            sigma_sum = sigma_sum + jnp.mean(sigma).astype(jnp.float32)
+            chunk = module.layer_chunk if module.layer_chunk > 0 else len(layer)
+            for ci in range(0, len(layer), chunk):
+                part = layer[ci : ci + chunk]
+                refs = [
+                    iframe_s2d if sched.parents[f] == 0 else com[sched.parents[f] - 1]
+                    for f in part
+                ]
+                ref = jnp.stack(refs)
+                ids = jnp.asarray([f - 1 for f in part])
+                mc, _ = module.apply(
+                    p, ref, mv_hat[ids],
+                    method=lambda m, r, d: m.motioncompensation(r, d),
+                )
+                res_hat = module.apply(
+                    p, feat_qs[li][ci : ci + chunk],
+                    method=lambda m, f: m.res_decoder(f),
+                )
+                com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
+                for i, f in enumerate(part):
+                    com[f - 1] = com_frames[i]
+        out = jnp.stack(com)
+        if s2d > 1:
+            out = depth_to_space(out, s2d)
+        return jnp.mean(out), sigma_sum
+
+    key = jax.random.PRNGKey(0)
+    lh, lw = H // 16, W // 16  # latent resolution (/16 of full, both configs)
+    mv_q = jax.random.normal(key, (bs, lh, lw, module.channels), jnp.bfloat16)
+    z_qs = [
+        jax.random.normal(key, (len(l), lh // 4, lw // 4, 64), jnp.bfloat16)
+        for l in sched.layers
+    ]
+    feat_qs = [
+        jax.random.normal(key, (len(l), lh, lw, 96), jnp.bfloat16)
+        for l in sched.layers
+    ]
+    return decode, (mv_q, z_qs, feat_qs)
+
+
 def main():
     # FVC_XPROF=<dir>: capture a jax.profiler trace of one timed iteration
     # for xprof/TensorBoard (utils.meters.xprof_trace)
@@ -96,62 +161,10 @@ def main():
     print(f"encode+decode: {encdec_fps:.2f} fps", file=sys.stderr)
 
     # ---- decode-only path (receiver side): mv synthesis + tree MC +
-    # hyper + residual synthesis from quantized latents + depth-to-space ----
-    bs = GOP - 1
-    sched = module.schedule(bs)
+    # hyper + residual synthesis from quantized latents + depth-to-space.
+    # Two live scalar outputs (recon + sigma means) make DCE impossible ----
+    decode, (mv_q, z_qs, feat_qs) = build_lsvc_decode(module, GOP, H, W)
     s2d = module.s2d
-
-    def decode(p, iframe_s2d, mv_q, z_qs, feat_qs):
-        mv_hat = module.apply(p, mv_q, method=lambda m, q: m.mv_decoder(q))
-        com = [None] * bs
-        sigma_sum = jnp.zeros((), jnp.float32)
-        for li, layer in enumerate(sched.layers):
-            # hyper synthesis: a real decoder must run it once per layer to
-            # entropy-decode the residual features; folding mean(sigma) into
-            # the output keeps it live in the timed graph (it has no other
-            # device-side consumer — sigma parameterizes the HOST entropy
-            # decode)
-            sigma = module.apply(
-                p, z_qs[li], method=lambda m, z: m.prior_decoder(z)
-            )
-            sigma_sum = sigma_sum + jnp.mean(sigma).astype(jnp.float32)
-            chunk = module.layer_chunk if module.layer_chunk > 0 else len(layer)
-            for ci in range(0, len(layer), chunk):
-                part = layer[ci : ci + chunk]
-                refs = [
-                    iframe_s2d if sched.parents[f] == 0 else com[sched.parents[f] - 1]
-                    for f in part
-                ]
-                ref = jnp.stack(refs)
-                ids = jnp.asarray([f - 1 for f in part])
-                mc, _ = module.apply(
-                    p, ref, mv_hat[ids],
-                    method=lambda m, r, d: m.motioncompensation(r, d),
-                )
-                res_hat = module.apply(
-                    p, feat_qs[li][ci : ci + chunk],
-                    method=lambda m, f: m.res_decoder(f),
-                )
-                com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
-                for i, f in enumerate(part):
-                    com[f - 1] = com_frames[i]
-        out = jnp.stack(com)
-        if s2d > 1:
-            out = depth_to_space(out, s2d)  # receiver emits full-res frames
-        # return sigma_sum separately and materialize BOTH scalars on host —
-        # two live outputs make DCE impossible
-        return jnp.mean(out), sigma_sum
-
-    lh, lw = H // 16, W // 16  # latent resolution (/16 of full, both configs)
-    mv_q = jax.random.normal(key, (bs, lh, lw, module.channels), jnp.bfloat16)
-    z_qs = [
-        jax.random.normal(key, (len(l), lh // 4, lw // 4, 64), jnp.bfloat16)
-        for l in sched.layers
-    ]
-    feat_qs = [
-        jax.random.normal(key, (len(l), lh, lw, 96), jnp.bfloat16)
-        for l in sched.layers
-    ]
     iframe = gop[0:1]
     iframe_s2d = (
         space_to_depth(iframe, s2d)[0] if s2d > 1 else iframe[0]
