@@ -198,13 +198,24 @@ class AnalysisMVNet(nn.Module):
 
 
 class SynthesisMVNet(nn.Module):
-    """Motion synthesis: mirrored 8-layer stack (DVC/subnet/synthesis_mv.py:9-81)."""
+    """Motion synthesis: mirrored 8-layer stack (DVC/subnet/synthesis_mv.py:9-81).
+
+    `polyphase_out` (TPU-native option, no reference counterpart): the
+    last spatial doubling is folded into the output conv — the stack stops
+    one level down and the final conv emits 2x2x`out_channels` channels
+    that depth-to-space to full resolution. Full-res expressiveness is
+    preserved (d2s is a permutation of the conv's output channels, exactly
+    the PolyphaseDeconv construction); what changes is that the 128-wide
+    trunk convs never run at full resolution, where they are
+    bandwidth-bound, not MAC-bound (chip-measured ~5 TF/s for the final
+    full-res layers vs ~150 at the lower level)."""
 
     conv_channels: int = OUT_CHANNEL_MV
     out_channels: int = 2
     stages: int = 4  # number of stride-2 deconvs among the 8 layers
     use_attn: bool = False
     attn_depth: int = 12
+    polyphase_out: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,6 +224,18 @@ class SynthesisMVNet(nn.Module):
             x = SpaceTimeAttention(x.shape[-1], depth=self.attn_depth, dtype=self.dtype)(x)
         c = self.conv_channels
         ups = [True, False] * (self.stages - 1) + [True]
+        if self.polyphase_out:
+            for up in ups[:-1]:
+                if up:
+                    x = _deconv(c, 3, 2, self.dtype, act=leaky01)(x)
+                else:
+                    x = leaky01(_conv(c, 3, 1, self.dtype)(x))
+            y = _conv(4 * self.out_channels, 3, 1, self.dtype)(x)
+            B, H, W = y.shape[:3]
+            y = y.reshape(B, H, W, 2, 2, self.out_channels)
+            return y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H * 2, W * 2, self.out_channels
+            )
         for up in ups:
             if up:
                 x = _deconv(c, 3, 2, self.dtype, act=leaky01)(x)

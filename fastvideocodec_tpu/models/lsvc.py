@@ -79,6 +79,7 @@ class LSVC(nn.Module):
     conv_channels: int = 0       # 0: family defaults (N=64 res, 128 mv)
     warp_width: int = 64         # WarpNet trunk width
     warp_tpu: bool = False       # use the quarter-res-trunk WarpNetTPU
+    mv_polyphase_out: bool = False  # SynthesisMVNet polyphase output stage
     mc_displacement: int = 0     # >0: bound MC-warp displacement (Pallas
     # halo radius, in s2d-domain pixels); 0 = backend default
     dtype: jnp.dtype = jnp.float32
@@ -100,7 +101,8 @@ class LSVC(nn.Module):
         )
         self.mv_decoder = SynthesisMVNet(
             use_attn=self.use_syn_attn, conv_channels=self.channels,
-            stages=stages, attn_depth=d, dtype=dt,
+            stages=stages, attn_depth=d, polyphase_out=self.mv_polyphase_out,
+            dtype=dt,
         )
         self.res_encoder = AnalysisNet(
             conv_channels=res_c, stages=stages,

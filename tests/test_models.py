@@ -330,3 +330,47 @@ class TestSpyNetS2DLevels:
         p = params["params"]
         for lvl in range(1, 5):
             assert p[f"level{lvl}"]["Conv_4"]["kernel"].shape[-1] == 2
+
+
+class TestMVPolyphaseOut:
+    """SynthesisMVNet.polyphase_out folds the last spatial doubling into
+    the output conv (4*out channels + d2s) — full-res output from a stack
+    whose trunk never runs at full resolution (transforms.py)."""
+
+    def test_shape_and_grads(self):
+        from fastvideocodec_tpu.layers.transforms import SynthesisMVNet
+
+        net = SynthesisMVNet(conv_channels=8, stages=3, polyphase_out=True)
+        x = jax.random.normal(KEY, (2, 4, 6, 8))
+        params = jax.jit(net.init)(KEY, x)
+        y = net.apply(params, x)
+        assert y.shape == (2, 32, 48, 2)  # 3 stride-2 ups from /8
+        # final conv emits 2x2x2 polyphase channels
+        convs = [k for k in params["params"] if k.startswith("Conv_")]
+        last = sorted(convs)[-1]
+        assert params["params"][last]["kernel"].shape[-1] == 8
+        g = jax.grad(lambda p: jnp.sum(net.apply(p, x) ** 2))(params)
+        assert all(
+            bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+        )
+
+    def test_polyphase_positions_match_d2s_contract(self):
+        """Each output 2x2 block comes from one low-res position's 8
+        channels in (sy, sx, c) order — the PolyphaseDeconv/d2s layout."""
+        from fastvideocodec_tpu.layers.transforms import SynthesisMVNet
+
+        net = SynthesisMVNet(conv_channels=4, stages=1, polyphase_out=True)
+        x = jax.random.normal(KEY, (1, 3, 5, 4))
+        params = jax.jit(net.init)(KEY, x)
+        y = net.apply(params, x)
+        assert y.shape == (1, 6, 10, 2)
+        # recompute the final conv by hand and d2s it
+        import flax.linen as fnn
+
+        # stages=1 -> ups == [True], trimmed to [] -> input goes straight
+        # to the output conv
+        conv = fnn.Conv(8, (3, 3), padding=1)
+        raw = conv.apply({"params": params["params"]["Conv_0"]}, x)
+        blk = raw.reshape(1, 3, 5, 2, 2, 2).transpose(0, 1, 3, 2, 4, 5)
+        manual = blk.reshape(1, 6, 10, 2)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(manual), atol=1e-6)
