@@ -9,11 +9,18 @@ Idea: express the warp as dense MXU math instead of random access. For an
 (8, TILE_W) output tile, every source pixel lies in a bounded halo around
 the tile (|flow| clamped to max_displacement R). Bilinear sampling is
 
-    out[p, c] = sum_h sum_x Wr[p, h] * Wc[p, x] * halo[c, h, x]
+    out[p, c] = sum_h sum_x Wr[h, p] * Wc[x, p] * halo[c, h, x]
 
-with Wr a per-pixel 2-tap vertical lerp and Wc the horizontal one. The
-kernel computes E_c = Wr @ halo[c] as one [P, Hh] x [Hh, Wh] MXU matmul per
-channel followed by a VPU multiply-reduce for the horizontal taps.
+with Wr a per-pixel 2-tap vertical lerp and Wc the horizontal one, both
+built as relu(1 - |iota - coord|) (exactly the 2-tap lerp weights). The
+kernel contracts the WIDE axis on the MXU — F_c = halo[c] @ Wc is one
+[Hh, Wh] x [Wh, P] matmul per channel — and the NARROW vertical axis on
+the VPU: out[p, c] = sum_h Wr[h, p] * F_c[h, p]. v3 did it the other way
+(vertical on MXU, horizontal on VPU) and was VPU-bound on the horizontal
+multiply-reduce: per channel it touched P*Wh elements where this order
+touches P*Hh, and Hh is 3-10x smaller than Wh (Wh rounds up to lane
+multiples of 128; Hh to sublane multiples of 8). Chip numbers in
+tools/warp_bench.py.
 
 The halo travels as ONE 3-D DMA per grid step from a channel-planar padded
 source [B, C, Hp, Wp] into a [C, Hh, Wh] VMEM scratch (channel-count-
@@ -141,40 +148,40 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
                 bn = t // nI
                 start_halo_dma(bn, in_, jn, jax.lax.rem(nxt, nbuf))
 
-    flow = flow_ref[0, 0, 0].astype(jnp.float32)  # [P, 2]
+    flow = flow_ref[0, 0, 0].astype(jnp.float32)  # [2, P] (lane-major)
 
     # absolute output pixel coordinates from the flattened tile index
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    ii = (ti * th + pidx // TILE_W).astype(jnp.float32)  # [P, 1]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    ii = (ti * th + pidx // TILE_W).astype(jnp.float32)  # [1, P]
     jj = (tj * TILE_W + pidx % TILE_W).astype(jnp.float32)
+    fx = flow[0:1, :]
+    fy = flow[1:2, :]
 
     if pixel_mode:
         # direct pixel displacements: source = output + flow (the SSF
         # warp_volume convention after unnormalizing its affine grid)
-        sx = jnp.clip(jj + flow[:, 0:1], 0.0, W - 1)
-        sy = jnp.clip(ii + flow[:, 1:2], 0.0, H - 1)
+        sx = jnp.clip(jj + fx, 0.0, W - 1)
+        sy = jnp.clip(ii + fy, 0.0, H - 1)
     else:
         # reference grid composition (ops/warp.py flow_warp): linspace grid
         # + flow*2/(size-1), unnormalized with align_corners=False, border
-        gx = (-1.0 + jj * (2.0 / (W - 1))) + flow[:, 0:1] * (2.0 / (W - 1))
-        gy = (-1.0 + ii * (2.0 / (H - 1))) + flow[:, 1:2] * (2.0 / (H - 1))
+        gx = (-1.0 + jj * (2.0 / (W - 1))) + fx * (2.0 / (W - 1))
+        gy = (-1.0 + ii * (2.0 / (H - 1))) + fy * (2.0 / (H - 1))
         sx = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
         sy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
 
-    # halo-relative coordinates
+    # halo-relative coordinates [1, P]
     hy = jnp.clip(sy - (ti * th - R), 0.0, Hh - 2.0)
     hx = jnp.clip(sx - (tj * TILE_W - R), 0.0, Wh - 2.0)
-    y0 = jnp.floor(hy)  # [P, 1]
-    x0 = jnp.floor(hx)
-    ty = hy - y0
-    tx = hx - x0
 
-    # vertical 2-tap lerp matrix Wr [P, Hh]
-    hh = jax.lax.broadcasted_iota(jnp.int32, (p, Hh), 1).astype(jnp.float32)
-    wr = jnp.where(hh == y0, 1.0 - ty, 0.0) + jnp.where(hh == y0 + 1.0, ty, 0.0)
-    # horizontal 2-tap weights Wc [P, Wh]
-    xx = jax.lax.broadcasted_iota(jnp.int32, (p, Wh), 1).astype(jnp.float32)
-    wc = jnp.where(xx == x0, 1.0 - tx, 0.0) + jnp.where(xx == x0 + 1.0, tx, 0.0)
+    # 2-tap lerp weights as relu(1 - |iota - coord|): weight (1-t) at
+    # floor(coord) and t at floor(coord)+1, zero elsewhere — one compare-
+    # free VPU expression instead of two eq/where pairs.
+    # vertical Wr [Hh, P], horizontal Wc [Wh, P]
+    hh = jax.lax.broadcasted_iota(jnp.int32, (Hh, p), 0).astype(jnp.float32)
+    wr = jnp.maximum(1.0 - jnp.abs(hh - hy), 0.0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Wh, p), 0).astype(jnp.float32)
+    wc = jnp.maximum(1.0 - jnp.abs(xx - hx), 0.0)
 
     if not strip:
         # wait for THIS tile's halo (started by the previous grid step, or
@@ -189,25 +196,27 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
         mm_dtype, mm_prec = jnp.bfloat16, None
     else:
         mm_dtype, mm_prec = jnp.float32, jax.lax.Precision.HIGHEST
-    wr = wr.astype(mm_dtype)
-    # channel-banded so the f32 E intermediate stays within VMEM; the output
-    # block is [P, C] (pixels in sublanes, channels in lanes) — a [.., C, P, 1]
-    # layout would pad the trailing 1 to 128 lanes and blow VMEM at C=48
+    wc = wc.astype(mm_dtype)
+    # channel-banded so the f32 F intermediate ([Hh, P], one channel at a
+    # time) stays within VMEM; the output block is [C, P] (channels in
+    # sublanes, tile pixels in lanes) so each channel lands as one
+    # sublane-row write with no in-kernel transpose
+    outs = []
     for c in range(C):
         if strip:
             # 128-aligned dynamic lane slice straight off the VMEM ref
-            rhs = halo_scratch[slot, c, :, pl.ds(tj * TILE_W, Wh)]
+            lhs = halo_scratch[slot, c, :, pl.ds(tj * TILE_W, Wh)]
         else:
-            rhs = halo_scratch[slot, c]
-        e = jax.lax.dot_general(
-            wr,
-            rhs.astype(mm_dtype),
+            lhs = halo_scratch[slot, c]
+        f = jax.lax.dot_general(
+            lhs.astype(mm_dtype),
+            wc,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mm_prec,
-        )  # [P, Wh]
-        s = jnp.sum(wc * e, axis=1, keepdims=True)
-        out_ref[0, 0, 0, :, c : c + 1] = s.astype(out_dtype)  # [P, 1]
+        )  # [Hh, P]
+        outs.append(jnp.sum(wr * f, axis=0, keepdims=True))  # [1, P]
+    out_ref[0, 0, 0] = jnp.concatenate(outs, axis=0).astype(out_dtype)
 
 
 def _tile_h(H: int, W: int, C: int, R: int, itemsize: int) -> int:
@@ -245,11 +254,11 @@ def _pallas_warp(
         ((0, 0), (0, 0), (R, Hh - th - R), (R, Wh - TILE_W - R)),
         mode="edge",
     )
-    # pre-tiled flow: [B, nI, nJ, P, 2]
+    # pre-tiled flow, lane-major: [B, nI, nJ, 2, P]
     flow_t = (
         flow.reshape(B, nI, th, nJ, TILE_W, 2)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, nI, nJ, p, 2)
+        .transpose(0, 1, 3, 5, 2, 4)
+        .reshape(B, nI, nJ, 2, p)
     )
 
     # DMA granularity + buffering (see _warp_kernel's schedule comment):
@@ -276,27 +285,27 @@ def _pallas_warp(
         grid=(B, nI, nJ),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, p, 2),
+                (1, 1, 1, 2, p),
                 lambda b, i, j: (b, i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, p, C),
+            (1, 1, 1, C, p),
             lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, p, C), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, C, p), img.dtype),
         scratch_shapes=[
             pltpu.VMEM((nbuf, C, Hh, Ws if strip else Wh), img.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
     )(flow_t, xpad)
-    # untile: [B, nI, nJ, P, C] -> [B, H, W, C]
-    out = out.reshape(B, nI, nJ, th, TILE_W, C)
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+    # untile: [B, nI, nJ, C, P] -> [B, H, W, C]
+    out = out.reshape(B, nI, nJ, C, th, TILE_W)
+    return out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C)
 
 
 def _supported(img_shape, R: int = 56) -> bool:
