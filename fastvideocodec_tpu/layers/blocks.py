@@ -97,33 +97,41 @@ class WarpNetTPU(nn.Module):
 
     The reference Warp_net runs two 64-wide ResBlocks at full input
     resolution — at C=64 the v5e MXU runs 3x3 convs at ~1/4 peak, and the
-    full-res blocks are ~70% of its cost. This variant downsamples with a
-    stride-2 stem conv, runs a wider (better lane-utilized) U-net trunk a
-    level lower, and upsamples back with a polyphase deconv; the residual
-    connection to the warped frame stays at input resolution, so the warp's
-    fine detail is preserved and the trunk only predicts the correction.
-    ~6x cheaper than Warp_net at equal half-resolution inputs.
+    full-res blocks are ~70% of its cost. On the chip every tensor that
+    lives at the input resolution (stem output, U-net skip, upsample) costs
+    real HBM time even when its FLOPs are trivial, so this variant spends
+    exactly TWO ops there: a stride-4 stem conv (5x5, so the stem sees the
+    same support a stride-2+pool stack would) and one sub-pixel output conv
+    (ESPCN-style: 16*out_channels at 1/4 resolution + 4x4 depth-to-space —
+    every output phase gets a full 3x3 view, unlike a k3/s4 transposed conv
+    whose uncovered phases would be bias-only). The trunk is `depth`
+    128-wide ResBlocks entirely at 1/4 input resolution (1/8 of the
+    original frame in the s2d codec domain); the residual connection to the
+    warped frame stays at input resolution, so the warp's fine detail is
+    preserved and the trunk only predicts the correction. Chip-measured
+    (tools-style micro-bench, [8,512,1024,12] R=28): warp+refine 38.8 ms ->
+    28.7 ms vs the round-2 stride-2 U-net (refine alone ~24 -> ~14 ms).
     """
 
     out_channels: int = 12
-    width: int = 96
+    width: int = 128
+    depth: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        from fastvideocodec_tpu.layers.transforms import PolyphaseDeconv
-        from fastvideocodec_tpu.ops.warp import avg_pool2, bilinear_upsample_x2_ac
+        from fastvideocodec_tpu.ops.warp import depth_to_space
 
         w = self.width
-        f = jax.nn.relu(
-            nn.Conv(w, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
+        c = jax.nn.relu(
+            nn.Conv(w, (5, 5), strides=(4, 4), padding=2, dtype=self.dtype)(x)
         )
-        c0 = ResBlock(w, dtype=self.dtype)(f)
-        c1 = ResBlock(w, dtype=self.dtype)(avg_pool2(c0))
-        c2 = ResBlock(w, dtype=self.dtype)(c1)
-        c2_u = c0 + bilinear_upsample_x2_ac(c2)
-        c3 = ResBlock(w, dtype=self.dtype)(c2_u)
-        return PolyphaseDeconv(self.out_channels, kernel_size=3, dtype=self.dtype)(c3)
+        for _ in range(self.depth):
+            c = ResBlock(w, dtype=self.dtype)(c)
+        r = nn.Conv(
+            self.out_channels * 16, (3, 3), padding=1, dtype=self.dtype
+        )(c)
+        return depth_to_space(r, 4)
 
 
 class MEBasic(nn.Module):

@@ -127,7 +127,7 @@ def get_codec_model(
                 spynet_kernels=(5, 5, 3, 3),
                 spynet_s2d_levels=2,
                 mv_polyphase_out=True,
-                warp_width=96,
+                warp_width=128,
                 warp_tpu=True,
                 mc_displacement=28,
                 use_attn="-A" in name,
