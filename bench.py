@@ -116,7 +116,22 @@ def main():
         # but ALL compute stays live
         return jnp.mean(com), metrics["bpp"], metrics["rec_loss"]
 
+    # The axon relay adds a ~40-50 ms dispatch+sync floor per jit call —
+    # a third of a GOP's device time at these rates. Scan SCANS distinct
+    # GOPs inside ONE jit call (real sequential execution on device, the
+    # relay floor amortized), mirroring a server streaming GOPs
+    # back-to-back; fn keeps the single-GOP signature for the warmup and
+    # the xprof trace.
+    SCANS = 5
+
+    def run_many(p, gs):
+        def body(_, g):
+            return None, run(p, g)
+        _, outs = jax.lax.scan(body, None, gs)
+        return jax.tree.map(jnp.sum, outs)
+
     fn = jax.jit(run)
+    fn_many = jax.jit(run_many)
     # warmup / compile; host-materialize (block_until_ready can return
     # before the remote compile+execute completes under the axon relay)
     out = fn(params, gop)
@@ -130,20 +145,31 @@ def main():
             _ = float(out[0])
         print(f"xprof trace written to {xprof_dir}", file=sys.stderr)
 
-    iters = 5
-    # distinct inputs per iteration: the axon relay memoizes identical
-    # (executable, args) executions, which would time as ~0ms
-    # (the perturbation must exceed the bf16 ulp or the buffers are
-    # bitwise-identical and memoization still hits)
-    gops = [
-        jax.block_until_ready(jnp.clip(gop * (0.8 + 0.04 * i), 0, 1))
+    iters = 2
+    # distinct inputs per iteration AND per scan step: the axon relay
+    # memoizes identical (executable, args) executions, which would time
+    # as ~0ms (the perturbation must exceed the bf16 ulp or the buffers
+    # are bitwise-identical and memoization still hits)
+    gop_stacks = [
+        jax.block_until_ready(
+            jnp.stack(
+                [
+                    jnp.clip(gop * (0.7 + 0.03 * (i * SCANS + s)), 0, 1)
+                    for s in range(SCANS)
+                ]
+            )
+        )
         for i in range(iters)
     ]
+    # compile+warm the scan executable outside the timed loop (distinct
+    # input so the relay can't replay it for iteration 0)
+    warm_stack = jnp.stack([jnp.clip(gop * (0.95 + 0.01 * s), 0, 1) for s in range(SCANS)])
+    _ = float(fn_many(params, warm_stack)[0])
     times = []
     vals = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(params, gops[i])
+        out = fn_many(params, gop_stacks[i])
         # under the axon relay, block_until_ready can resolve before remote
         # execution completes; materializing the scalar on host is the only
         # honest sync point
@@ -151,12 +177,12 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = sum(times)
     print(
-        f"iters(s): {[round(t, 4) for t in times]} mean_recon={vals[-1]:.4f} "
-        f"(all: {[round(v, 4) for v in vals]})",
+        f"iters(s, {SCANS} GOPs each): {[round(t, 4) for t in times]} "
+        f"recon_sums: {[round(v, 4) for v in vals]}",
         file=sys.stderr,
     )
 
-    frames = (GOP - 1) * iters
+    frames = (GOP - 1) * SCANS * iters
     encdec_fps = frames / dt if dt > 0 else float("nan")
     print(f"encode+decode: {encdec_fps:.2f} fps", file=sys.stderr)
 
@@ -179,15 +205,35 @@ def main():
             out = dfn(params, iframe_s2d, mv_q, z_qs, feat_qs)
             _ = (float(out[0]), float(out[1]))
         print(f"decode xprof trace in {xprof_dir}_decode", file=sys.stderr)
+    # scan-amortized like the encode+decode loop: each scan step decodes
+    # with a distinctly scaled mv stream (distinct flows -> distinct halo
+    # offsets and synthesis inputs; latents fixed)
+    def dec_many(p, i_s2d, mv, zq, fq, scales):
+        def body(_, s):
+            return None, decode(p, i_s2d, mv * s, zq, fq)
+        _, outs = jax.lax.scan(body, None, scales)
+        return jax.tree.map(jnp.sum, outs)
+
+    dmany = jax.jit(dec_many)
+    warm_scales = jnp.asarray(
+        [0.95 + 0.01 * s for s in range(SCANS)], mv_q.dtype
+    )
+    out = dmany(params, iframe_s2d, mv_q, z_qs, feat_qs, warm_scales)
+    _ = (float(out[0]), float(out[1]))
     dts = []
     for i in range(iters):
-        mv_i = jax.block_until_ready(mv_q * (0.8 + 0.04 * i))
+        scales = jax.block_until_ready(
+            jnp.asarray(
+                [0.7 + 0.03 * (i * SCANS + s) for s in range(SCANS)],
+                mv_q.dtype,
+            )
+        )
         t0 = time.perf_counter()
-        out = dfn(params, iframe_s2d, mv_i, z_qs, feat_qs)
+        out = dmany(params, iframe_s2d, mv_q, z_qs, feat_qs, scales)
         _ = (float(out[0]), float(out[1]))
         dts.append(time.perf_counter() - t0)
-    dec_fps = (GOP - 1) * iters / sum(dts)
-    print(f"decode-only iters(s): {[round(t, 3) for t in dts]}", file=sys.stderr)
+    dec_fps = (GOP - 1) * SCANS * iters / sum(dts)
+    print(f"decode-only iters(s, {SCANS} GOPs each): {[round(t, 3) for t in dts]}", file=sys.stderr)
 
     baseline_fps = 1.0 / 0.0310  # LSVC decode on GTX 1080 Ti, plot_hermes.py:735
     print(

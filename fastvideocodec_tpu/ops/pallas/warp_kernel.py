@@ -35,6 +35,21 @@ padding, align_corners=False) exactly for |flow| <= R; larger displacements
 clamp to R (per call site — motion-compensation warps of a trained codec
 need far less halo than full-res SPyNet). Backward falls back to the XLA
 implementation via custom_vjp, so training gradients are exact.
+
+v5 offset mode (active when R >= ~20): the horizontal halo width is
+lane-locked at round_up(TILE_W + 2R + 1, 128) = 256 for every R <= 63, so
+only the VERTICAL halo extent drives the per-channel matmul — and after v4
+the kernel is MXU-MAC-bound (~70% of bf16 peak), so MACs are the bill. A
+per-tile vertical offset (the tile's midrange source row, quantized to the
+8-row sublane alignment, shipped via scalar prefetch) selects a short
+Hv-row residual window out of the full halo; the matmul contracts Hv rows
+instead of Hh (R=56: 128 -> 40). Additional exactness condition: a tile's
+vertical source-coordinate spread around its midrange must fit the
+residual budget (~±11 rows); pixels beyond it clamp to the window edge.
+Decoded/estimated flow fields are smooth at 8x128-tile granularity, so
+this matches everywhere except motion-boundary tiles with >11 px of
+divergent vertical motion; the real-bitstream coder paths force the exact
+XLA warp anyway (ops/warp.py exact_warp).
 """
 
 from __future__ import annotations
@@ -59,9 +74,21 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
+def _warp_kernel(*refs,
                  R, H, W, C, Hh, Wh, out_dtype, pixel_mode=False,
-                 nB=1, nI=1, nJ=1, nbuf=2, strip=False, th=TILE_H):
+                 nB=1, nI=1, nJ=1, nbuf=2, strip=False, th=TILE_H,
+                 Hv=0):
+    # v5 offset mode (Hv > 0): a scalar-prefetched per-tile vertical offset
+    # (in 8-row units — Mosaic requires provably 8-aligned sublane slices)
+    # selects an Hv-row residual window out of the full Hh-row halo, so the
+    # per-channel matmul contracts Hv rows instead of Hh. The horizontal
+    # halo is lane-locked at Wh = round_up(TILE_W + 2R + 1, 128) for every
+    # R <= 63 anyway, so only the vertical extent drives MACs — and the
+    # kernel is MXU-MAC-bound after v4 (chip: 70% of bf16 peak).
+    if Hv:
+        offs_ref, flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem = refs
+    else:
+        flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem = refs
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -121,12 +148,19 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
         slot = jax.lax.rem(g, nbuf) if nbuf > 1 else 0
 
         def start_halo_dma(bb, ii, jj, s):
-            # One 3-D DMA: the [C, Hh, Wh] halo window. Padded-image coords
-            # offset by +R cancel the -R halo origin, so windows start
-            # exactly at (ii*th, jj*TILE_W).
+            # One 3-D DMA: the halo window. Padded-image coords offset by
+            # +R cancel the -R halo origin, so windows start exactly at
+            # (ii*th, jj*TILE_W) — plus the tile's vertical offset (and
+            # only Hv rows travel) in v5 offset mode.
+            if Hv:
+                y0 = ii * th + offs_ref[bb, ii, jj] * 8
+                rows = Hv
+            else:
+                y0 = ii * th
+                rows = Hh
             pltpu.make_async_copy(
                 xpad_ref.at[
-                    bb, :, pl.ds(ii * th, Hh), pl.ds(jj * TILE_W, Wh)
+                    bb, :, pl.ds(y0, rows), pl.ds(jj * TILE_W, Wh)
                 ],
                 halo_scratch.at[s],
                 dma_sem.at[s],
@@ -170,15 +204,24 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
         sx = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1)
         sy = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1)
 
-    # halo-relative coordinates [1, P]
-    hy = jnp.clip(sy - (ti * th - R), 0.0, Hh - 2.0)
+    # halo-relative coordinates [1, P]. In v5 offset mode the tile's
+    # quantized vertical offset shifts the window: pixels whose vertical
+    # source row deviates more than the residual window allows from the
+    # tile's mean clamp to the window edge (|flow| <= R AND per-tile
+    # vertical spread <= the Hv budget => exact).
+    Hr = Hv or Hh
+    if Hv:
+        oy = (offs_ref[b, ti, tj] * 8).astype(jnp.float32)
+    else:
+        oy = 0.0
+    hy = jnp.clip(sy - (ti * th - R) - oy, 0.0, Hr - 2.0)
     hx = jnp.clip(sx - (tj * TILE_W - R), 0.0, Wh - 2.0)
 
     # 2-tap lerp weights as relu(1 - |iota - coord|): weight (1-t) at
     # floor(coord) and t at floor(coord)+1, zero elsewhere — one compare-
     # free VPU expression instead of two eq/where pairs.
-    # vertical Wr [Hh, P], horizontal Wc [Wh, P]
-    hh = jax.lax.broadcasted_iota(jnp.int32, (Hh, p), 0).astype(jnp.float32)
+    # vertical Wr [Hr, P], horizontal Wc [Wh, P]
+    hh = jax.lax.broadcasted_iota(jnp.int32, (Hr, p), 0).astype(jnp.float32)
     wr = jnp.maximum(1.0 - jnp.abs(hh - hy), 0.0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (Wh, p), 0).astype(jnp.float32)
     wc = jnp.maximum(1.0 - jnp.abs(xx - hx), 0.0)
@@ -186,10 +229,18 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     if not strip:
         # wait for THIS tile's halo (started by the previous grid step, or
         # by the warm-up branch above when g == 0)
+        if Hv:
+            src = xpad_ref.at[
+                b, :,
+                pl.ds(ti * th + offs_ref[b, ti, tj] * 8, Hv),
+                pl.ds(tj * TILE_W, Wh),
+            ]
+        else:
+            src = xpad_ref.at[
+                b, :, pl.ds(ti * th, Hh), pl.ds(tj * TILE_W, Wh)
+            ]
         pltpu.make_async_copy(
-            xpad_ref.at[b, :, pl.ds(ti * th, Hh), pl.ds(tj * TILE_W, Wh)],
-            halo_scratch.at[slot],
-            dma_sem.at[slot],
+            src, halo_scratch.at[slot], dma_sem.at[slot]
         ).wait()
 
     if out_dtype == jnp.bfloat16:
@@ -203,7 +254,14 @@ def _warp_kernel(flow_ref, xpad_ref, out_ref, halo_scratch, dma_sem, *,
     # sublane-row write with no in-kernel transpose
     outs = []
     for c in range(C):
-        if strip:
+        if strip and Hv:
+            # dynamic (8-aligned) sublane window + 128-aligned lane slice
+            lhs = halo_scratch[
+                slot, c,
+                pl.ds(offs_ref[b, ti, tj] * 8, Hv),
+                pl.ds(tj * TILE_W, Wh),
+            ]
+        elif strip:
             # 128-aligned dynamic lane slice straight off the VMEM ref
             lhs = halo_scratch[slot, c, :, pl.ds(tj * TILE_W, Wh)]
         else:
@@ -236,6 +294,9 @@ def _tile_h(H: int, W: int, C: int, R: int, itemsize: int) -> int:
     return TILE_H
 
 
+RESIDUAL_R = 12  # v5 residual vertical half-window (rows around tile mean)
+
+
 def _pallas_warp(
     img: jax.Array, flow: jax.Array, R: int, interpret: bool = False,
     pixel_mode: bool = False,
@@ -247,6 +308,15 @@ def _pallas_warp(
     Hh = _round_up(th + 2 * R + 1, 8)
     Wh = _round_up(TILE_W + 2 * R + 1, TILE_W)
     nI, nJ = H // th, W // TILE_W
+
+    # v5 offset mode: the horizontal halo is lane-locked at Wh for every
+    # R <= 63, so only the vertical extent drives the (MAC-bound) matmul.
+    # A per-tile vertical offset — the tile's mean vertical source row,
+    # quantized to 8 (Mosaic sublane alignment) — selects an Hv-row
+    # residual window; pixels deviating beyond it clamp to the window edge
+    # (decoded/estimated flow fields are smooth at 8x128 granularity).
+    Hv = _round_up(th + 2 * RESIDUAL_R + 1, 8)
+    offset_mode = Hh - Hv >= 16
 
     # channel-planar padded source: [B, C, H + Hh - th, W + Wh - TILE_W]
     xpad = jnp.pad(
@@ -260,6 +330,37 @@ def _pallas_warp(
         .transpose(0, 1, 3, 5, 2, 4)
         .reshape(B, nI, nJ, 2, p)
     )
+
+    if offset_mode:
+        # Per-tile vertical offsets, derived from the PRE-TILED flow so the
+        # producer's d2s output keeps a single consumer layout (a reduce on
+        # the raw flow made XLA materialize it twice, +13 ms at 1080p).
+        # min/max of the vertical source coord decompose exactly: sy is a
+        # monotone (clipped linear) map of z = ii + fy, and per tile
+        # min(z) = ti*th + min_r(r + min_lane fy); the Hv window centres on
+        # the tile MIDRANGE (min+max)/2 — strictly better coverage than the
+        # mean — quantized to 8 rows (Mosaic sublane alignment).
+        fy_t = flow_t[:, :, :, 1, :].astype(jnp.float32).reshape(
+            B, nI, nJ, th, TILE_W
+        )
+        r_idx = jnp.arange(th, dtype=jnp.float32)
+        zmin = (fy_t.min(axis=4) + r_idx).min(axis=3)  # [B, nI, nJ]
+        zmax = (fy_t.max(axis=4) + r_idx).max(axis=3)
+        ti_idx = jnp.arange(nI, dtype=jnp.float32)[None, :, None]
+        zmin = zmin + ti_idx * th
+        zmax = zmax + ti_idx * th
+        if pixel_mode:
+            sy_min = jnp.clip(zmin, 0.0, H - 1)
+            sy_max = jnp.clip(zmax, 0.0, H - 1)
+        else:
+            sy_min = jnp.clip(zmin * (H / (H - 1)) - 0.5, 0.0, H - 1)
+            sy_max = jnp.clip(zmax * (H / (H - 1)) - 0.5, 0.0, H - 1)
+        oy = (sy_min + sy_max) * 0.5 + R - ti_idx * th - (Hv - 2) / 2
+        offs = jnp.clip(
+            jnp.round(oy / 8.0), 0.0, (Hh - Hv) // 8
+        ).astype(jnp.int32)
+    else:
+        Hv = 0
 
     # DMA granularity + buffering (see _warp_kernel's schedule comment):
     # row strips double-buffered when two fit in VMEM (~16 MB/core, leaving
@@ -278,31 +379,53 @@ def _pallas_warp(
     kernel = functools.partial(
         _warp_kernel, R=R, H=H, W=W, C=C, Hh=Hh, Wh=Wh, out_dtype=img.dtype,
         pixel_mode=pixel_mode, nB=B, nI=nI, nJ=nJ, nbuf=nbuf, strip=strip,
-        th=th,
+        th=th, Hv=Hv,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, nI, nJ),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 1, 2, p),
-                lambda b, i, j: (b, i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, C, p),
-            lambda b, i, j: (b, i, j, 0, 0),
+    scratch_rows = (Ws if strip else Wh)
+    scratch_h = Hh if (strip or not Hv) else Hv
+    scratch_shapes = [
+        pltpu.VMEM((nbuf, C, scratch_h, scratch_rows), img.dtype),
+        pltpu.SemaphoreType.DMA((nbuf,)),
+    ]
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, 1, 2, p),
+            (lambda b, i, j, offs: (b, i, j, 0, 0)) if Hv
+            else (lambda b, i, j: (b, i, j, 0, 0)),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nI, nJ, C, p), img.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, C, Hh, Ws if strip else Wh), img.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-        ],
-        interpret=interpret,
-    )(flow_t, xpad)
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    out_specs = pl.BlockSpec(
+        (1, 1, 1, C, p),
+        (lambda b, i, j, offs: (b, i, j, 0, 0)) if Hv
+        else (lambda b, i, j: (b, i, j, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, nI, nJ, C, p), img.dtype)
+    if Hv:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, nI, nJ),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(offs, flow_t, xpad)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, nI, nJ),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(flow_t, xpad)
     # untile: [B, nI, nJ, C, P] -> [B, H, W, C]
     out = out.reshape(B, nI, nJ, C, th, TILE_W)
     return out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C)
@@ -322,9 +445,11 @@ def _supported(img_shape, R: int = 56) -> bool:
 def pallas_flow_warp(img: jax.Array, flow: jax.Array, max_displacement: int = 56):
     """Bilinear backward warp with displacement bounded by max_displacement.
 
-    Matches ops.warp.flow_warp exactly for |flow| <= max_displacement;
-    larger motion clamps. Falls back to the XLA gather path for shapes the
-    tiling cannot cover (small pyramid levels)."""
+    Matches ops.warp.flow_warp exactly for |flow| <= max_displacement (plus,
+    when the v5 offset mode is active at R >= ~20, per-tile vertical spread
+    within the residual window budget — module docstring); larger motion
+    clamps. Falls back to the XLA gather path for shapes the tiling cannot
+    cover (small pyramid levels)."""
     from fastvideocodec_tpu.ops.warp import _xla_flow_warp as xla_flow_warp
 
     if not _supported(img.shape, max_displacement):

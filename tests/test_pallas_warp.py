@@ -22,7 +22,6 @@ def _rand(key, shape, lo=0.0, hi=1.0):
         ((1, 16, 128, 3), 8),
         ((2, 16, 256, 5), 16),
         ((1, 24, 128, 12), 4),   # space-to-depth channel count
-        ((1, 8, 128, 1), 56),
     ],
 )
 def test_pallas_matches_xla_within_bound(shape, R):
@@ -36,6 +35,46 @@ def test_pallas_matches_xla_within_bound(shape, R):
     got = _pallas_warp(img, flow, R, interpret=True)
     want = _xla_flow_warp(img, flow)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("R", [48, 56])
+@pytest.mark.parametrize("pixel_mode", [False, True])
+def test_offset_mode_matches_xla_for_smooth_flow(R, pixel_mode):
+    """v5 offset mode (active at R >= ~20): large global displacement with
+    slow spatial variation (per-tile vertical spread well inside the
+    residual-window budget) must match the exact path."""
+    from fastvideocodec_tpu.ops.warp import _xla_pixel_warp
+
+    key = jax.random.PRNGKey(5)
+    B, H, W, C = 2, 64, 256, 5
+    img = _rand(key, (B, H, W, C))
+    yy = jnp.linspace(0, np.pi, H)[None, :, None]
+    xx = jnp.linspace(0, np.pi, W)[None, None, :]
+    fy = (R - 10.0) * jnp.sin(yy * 0.5) * jnp.cos(xx * 0.05)
+    fx = 0.5 * (R - 10.0) * jnp.cos(yy * 0.3) * jnp.sin(xx * 0.04)
+    noise = (_rand(key, (B, H, W, 2)) - 0.5) * 6.0
+    flow = jnp.stack(
+        [jnp.broadcast_to(fx, (B, H, W)), jnp.broadcast_to(fy, (B, H, W))],
+        axis=-1,
+    ) + noise
+    got = _pallas_warp(img, flow, R, interpret=True, pixel_mode=pixel_mode)
+    want = (_xla_pixel_warp if pixel_mode else _xla_flow_warp)(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_offset_mode_high_spread_clamps_but_bounded():
+    """Per-tile vertical spread beyond the residual budget: the offset mode
+    clamps toward the tile midrange — output differs from the exact path
+    but stays a convex combination of real pixels."""
+    key = jax.random.PRNGKey(6)
+    img = _rand(key, (1, 64, 128, 3))
+    flow = (_rand(key, (1, 64, 128, 2)) - 0.5) * 100.0  # wild spread
+    got = np.asarray(_pallas_warp(img, flow, 56, interpret=True))
+    assert np.isfinite(got).all()
+    assert got.min() >= float(img.min()) - 1e-5
+    assert got.max() <= float(img.max()) + 1e-5
+    want = np.asarray(_xla_flow_warp(img, flow))
+    assert np.abs(got - want).max() > 1e-3  # the residual clamp is real
 
 
 def test_pallas_border_clamp_matches_xla():
