@@ -37,25 +37,39 @@ from fastvideocodec_tpu.ops import space_to_depth
 
 H, W = 1024, 2048
 ITERS = 3
+SCANS = 4  # GOPs per jit call — amortizes the relay's ~45 ms dispatch floor
 
 
 def _time(fn, *args, perturb=0):
-    """Median wall time of fn(*args) with host-materialized scalar sync."""
-    out = fn(*args)
-    _ = jax.tree_util.tree_map(float, out)  # compile + warm
+    """Median wall time per fn(*args) call. SCANS distinctly-scaled
+    variants of args[perturb] run inside ONE jit via lax.scan (matching
+    bench.py: the axon relay adds a ~45 ms dispatch+sync floor per call,
+    a large fraction of a GOP at current rates); scalars are summed and
+    host-materialized (block_until_ready can return early)."""
+    dt = args[perturb].dtype
+
+    def many(scales, *a):
+        def body(_, s):
+            aa = list(a)
+            aa[perturb] = a[perturb] * s
+            return None, fn(*aa)
+        _, outs = jax.lax.scan(body, None, scales)
+        return jax.tree_util.tree_map(jnp.sum, outs)
+
+    jmany = jax.jit(many)
+    warm = jnp.asarray([1.0 - 0.01 * s for s in range(SCANS)], dt)
+    _ = jax.tree_util.tree_map(float, jmany(warm, *args))  # compile + warm
     ts = []
     for i in range(ITERS):
-        a = [
-            jax.block_until_ready(x * (0.9 + 0.03 * i))
-            if pi == perturb else x
-            for pi, x in enumerate(args)
-        ]
+        scales = jax.block_until_ready(jnp.asarray(
+            [0.7 + 0.03 * (i * SCANS + s) for s in range(SCANS)], dt
+        ))
         t0 = time.perf_counter()
-        out = fn(*a)
+        out = jmany(scales, *args)
         _ = jax.tree_util.tree_map(float, out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return ts[len(ts) // 2]
+    return ts[len(ts) // 2] / SCANS
 
 
 def lsvc_gop_sweep(gops):
