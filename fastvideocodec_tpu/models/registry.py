@@ -103,14 +103,23 @@ def get_codec_model(
     elif name.startswith("LSVC"):
         graph = "chain" if "-L" in name else ("onehop" if "-O" in name else "tree")
         if "-TINY" in name:
-            # miniature config for golden-RD tests and fast experiments
-            # (this framework's own; ships trained weights in assets/)
+            # miniature configs for golden-RD tests and fast experiments
+            # (this framework's own; ship trained weights in assets/).
+            # LSVC-TPU-TINY exercises the flagship's TPU-native
+            # architecture (s2d codec domain, WarpNetTPU, polyphase mv
+            # output) at golden-RD scale.
+            tpu = "-TPU" in name
             module = LSVC(
                 channels=48,
                 conv_channels=32,
+                s2d=2 if tpu else 1,
                 spynet_widths=(8, 16, 8, 4),
                 spynet_kernel=5,
-                warp_width=16,
+                spynet_s2d_levels=2 if tpu else 0,
+                mv_polyphase_out=tpu,
+                warp_width=32 if tpu else 16,
+                warp_tpu=tpu,
+                mc_displacement=28 if tpu else 0,
                 graph=graph,
                 dtype=dtype,
             )

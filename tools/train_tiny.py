@@ -43,6 +43,8 @@ ASSETS = os.path.join(REPO, "fastvideocodec_tpu", "assets")
 
 # per-family recipe: (spec factory, lambda levels, steps)
 FAMILIES = {
+    "lsvctpu": (lambda lvl: get_codec_model(
+        "LSVC-TPU-TINY", compression_level=lvl), (0, 2, 4), 800),
     "rlvc": (lambda lvl: get_codec_model("RLVC-TINY", compression_level=lvl),
              (0, 2, 4), 800),
     "dvc": (lambda lvl: get_codec_model("DVC-TINY", compression_level=lvl),
