@@ -48,6 +48,52 @@ def bench(name, B, H, W, C, R, pixel_mode, dtype):
 
 
 
+def bench_formatting(name, B, H, W, C, R, dtype):
+    """Quantify the XLA data-formatting copies around the kernel (ROADMAP
+    round-3 candidate: NHWC->planar pad in, tiled->NHWC untile out). Times
+    each stage standalone — fusion inside the full dispatch can differ, so
+    treat as an upper-bound share, not an exact split."""
+    from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+        TILE_H, TILE_W, _round_up,
+    )
+
+    th = TILE_H
+    Hh = _round_up(th + 2 * R + 1, 8)
+    Wh = _round_up(TILE_W + 2 * R + 1, TILE_W)
+    nI, nJ = H // th, W // TILE_W
+    p = th * TILE_W
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (B, H, W, C), dtype)
+    tiled = jax.random.uniform(key, (B, nI, nJ, C, p), dtype)
+
+    def fmt_in(i):
+        xpad = jnp.pad(
+            i.transpose(0, 3, 1, 2),
+            ((0, 0), (0, 0), (R, Hh - th - R), (R, Wh - TILE_W - R)),
+            mode="edge",
+        )
+        return jnp.mean(xpad)
+
+    def untile(o):
+        o = o.reshape(B, nI, nJ, C, th, TILE_W)
+        return jnp.mean(o.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C))
+
+    for tag, fn, arg in (("fmt_in", fmt_in, img), ("untile", untile, tiled)):
+        jf = jax.jit(fn)
+        _ = float(jf(arg))
+        iters = 5
+        args = [
+            jax.block_until_ready(arg * (0.8 + 0.04 * i)) for i in range(iters)
+        ]
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            _ = float(jf(args[i]))
+            ts.append(time.perf_counter() - t0)
+        print(f"{name}:{tag}: min {min(ts)*1e3:.2f} ms  all {[round(t*1e3,2) for t in ts]}")
+
+
 def bench_null():
     """Measurement floor: a trivial reduction over the same-size input —
     isolates relay RPC + scalar-transfer overhead from kernel time."""
@@ -69,10 +115,20 @@ def bench_null():
 
 
 if __name__ == "__main__":
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
     bench_null()
     for case in CASES:
+        if only and only not in case[0]:
+            continue
         try:
             bench(*case)
         except Exception as e:  # compile failures (VMEM OOM) shouldn't
             print(f"{case[0]}: FAILED {type(e).__name__}: {str(e)[:200]}")
         sys.stdout.flush()
+    if not only or only == "fmt":
+        for name, B, H, W, C, R, pixel_mode, dtype in CASES[:2]:
+            try:
+                bench_formatting(name, B, H, W, C, R, dtype)
+            except Exception as e:
+                print(f"{name}:fmt FAILED {type(e).__name__}: {str(e)[:200]}")
+            sys.stdout.flush()
