@@ -28,23 +28,11 @@ T, H, W = 4, 64, 64
 
 def synth_gop(rng: np.random.Generator):
     """Smooth translating texture + light noise (the training distribution
-    of the shipped tiny checkpoints)."""
-    base = rng.random((H * 2, W * 2, 3)).astype(np.float32)
-    for _ in range(3):
-        base = (
-            base
-            + np.roll(base, 1, 0) + np.roll(base, -1, 0)
-            + np.roll(base, 1, 1) + np.roll(base, -1, 1)
-        ) / 5.0
-    base = (base - base.min()) / (base.max() - base.min() + 1e-6)
-    dx, dy = rng.integers(-3, 4, size=2)
-    frames = []
-    ox, oy = H // 2, W // 2
-    for t in range(T):
-        f = base[ox + t * dy : ox + t * dy + H, oy + t * dx : oy + t * dx + W]
-        f = np.clip(f + rng.normal(0, 0.01, f.shape).astype(np.float32), 0, 1)
-        frames.append(f)
-    return np.stack(frames)
+    of the shipped tiny checkpoints) — the package generator at the tiny
+    defaults (data/synthetic.py keeps the identical draw order)."""
+    from fastvideocodec_tpu.data.synthetic import synth_gop as gen
+
+    return gen(rng, size=H, gop=T)
 
 
 def load_tiny_params(level: int):
@@ -62,6 +50,7 @@ def load_tiny_params(level: int):
     return tree
 
 
+@pytest.mark.slow
 class TestGoldenRD:
     def test_monotone_bpp_psnr_across_levels_real_bits(self):
         from fastvideocodec_tpu.coder.video import lsvc_compress
@@ -95,6 +84,7 @@ class TestGoldenRD:
         assert psnrs[-1] > 17.0, psnrs
 
 
+@pytest.mark.slow
 class TestGoldenRDSSF:
     """Second-family RD evidence: SSF-TINY (scale-space flow) trained at the
     same 3 lambda levels (assets/tiny_ssf_l{0,2,4}.npz, f16-stored; trained
@@ -160,6 +150,7 @@ class TestGoldenRDSSF:
         assert psnrs[-1] > 15.0, psnrs
 
 
+@pytest.mark.slow
 class TestConvergence:
     def test_rd_loss_drops(self):
         """Seeded regression: 100 steps of LSVC-TINY on the synthetic motion
@@ -189,6 +180,7 @@ class TestConvergence:
         assert last < 0.85 * first, (first, last)
 
 
+@pytest.mark.slow
 class TestGoldenRDELFVC:
     """Third-family RD evidence: ELFVC-SP-TINY (Vesper: flow-predictor
     delta motion + SPnet super-precision) staged-trained at 3 lambda levels
@@ -259,6 +251,7 @@ class TestGoldenRDELFVC:
         assert psnrs[-1] > 15.0, psnrs
 
 
+@pytest.mark.slow
 class TestGoldenRDMCVC:
     """Fourth-family RD evidence: MCVC-IA-TINY (multi-camera joint codec
     with cross-view backup attention decoders) trained at 3 lambda levels
@@ -285,29 +278,11 @@ class TestGoldenRDMCVC:
     @classmethod
     def _synth_mv_gop(cls, rng: np.random.Generator):
         """Held-out multi-view clip matching the training distribution
-        (V offset crops of one translating texture)."""
-        V = cls.V
-        base = rng.random((H * 3, W * 3, 3)).astype(np.float32)
-        for _ in range(3):
-            base = (
-                base
-                + np.roll(base, 1, 0) + np.roll(base, -1, 0)
-                + np.roll(base, 1, 1) + np.roll(base, -1, 1)
-            ) / 5.0
-        base = (base - base.min()) / (base.max() - base.min() + 1e-6)
-        dx, dy = rng.integers(-3, 4, size=2)
-        offs = [(0, 0), (0, W // 2), (H // 2, 0)][:V]
-        frames = []
-        for t in range(T):
-            views = []
-            for vy, vx in offs:
-                sy, sx = H + vy + t * dy, W + vx + t * dx
-                f = base[sy : sy + H, sx : sx + W]
-                views.append(np.clip(
-                    f + rng.normal(0, 0.01, f.shape).astype(np.float32), 0, 1
-                ))
-            frames.append(np.stack(views))
-        return np.stack(frames)  # [T, V, H, W, 3]
+        (V offset crops of one translating texture) — the package generator
+        at the tiny defaults (data/synthetic.py, identical draw order)."""
+        from fastvideocodec_tpu.data.synthetic import synth_mv_gop
+
+        return synth_mv_gop(rng, views=cls.V, size=H, gop=T)
 
     def test_monotone_bpp_psnr_across_levels_real_bits(self):
         from fastvideocodec_tpu.coder.video import (
@@ -370,6 +345,7 @@ class TestGoldenRDMCVC:
         assert mse_backup < 0.8 * mse_zero, (mse_backup, mse_zero)
 
 
+@pytest.mark.slow
 class TestGoldenRDRLVC:
     """Fifth-family RD evidence: RLVC-TINY (recurrent ConvLSTM autoencoders
     with the RecProbModel/RPM entropy path — the one family whose real-bits
@@ -428,6 +404,7 @@ class TestGoldenRDRLVC:
         assert psnrs[-1] > 15.0, psnrs
 
 
+@pytest.mark.slow
 class TestGoldenRDDVC:
     """Sixth-family RD evidence: DVC-TINY (the classic sequential P-frame
     codec, reference DVC/net.py:38-220) trained at 3 lambda levels
@@ -483,6 +460,7 @@ class TestGoldenRDDVC:
         assert psnrs[-1] > 15.0, psnrs
 
 
+@pytest.mark.slow
 class TestGoldenRDBase:
     """Seventh-family RD evidence: Base-ER-TINY (DVC skeleton with
     error-restoration generator stacks, reference models.py:1550-1835)
@@ -538,6 +516,7 @@ class TestGoldenRDBase:
         assert psnrs[-1] > 15.0, psnrs
 
 
+@pytest.mark.slow
 class TestGoldenRDLSVCTPU:
     """Eighth-family RD evidence — the FLAGSHIP architecture: LSVC-TPU-TINY
     exercises this framework's own TPU-native design (space-to-depth codec

@@ -10,9 +10,13 @@ the reference lambda table models.py:72-76 keyed by compression_level).
 Usage:
     python tools/train_tiny.py rlvc dvc base mcvc  [--steps N] [--out DIR]
 
-The data generators are imported from tests/test_rd.py so the training
-distribution and the regression's held-out clip (seed 123 — never drawn
-here; training uses seed 0) stay a single source of truth.
+The data generators live in fastvideocodec_tpu/data/synthetic.py so the
+training distribution and the regressions' held-out clips (seed 123 —
+never drawn here; training uses seed 0) stay a single source of truth.
+
+The *_hd families train the scaled rung (128x128, GOP 8, multi-object
+clips) at FULL reference channel widths — LSVC-128 vs LSVC-TPU, the
+flagship RD head-to-head (assets/hd_{lsvc128,lsvctpu}_l{0,2,4}.npz).
 """
 
 from __future__ import annotations
@@ -37,22 +41,36 @@ from fastvideocodec_tpu.ops import bits_estimate
 from fastvideocodec_tpu.train import TrainConfig, make_train_step
 from fastvideocodec_tpu.train.trainer import make_optimizer
 
-from test_rd import T, H, W, synth_gop, TestGoldenRDMCVC  # noqa: E402
+from fastvideocodec_tpu.data.synthetic import synth_gop, synth_gop_multi
+
+from test_rd import TestGoldenRDMCVC  # noqa: E402
 
 ASSETS = os.path.join(REPO, "fastvideocodec_tpu", "assets")
 
-# per-family recipe: (spec factory, lambda levels, steps)
+# per-family recipe: (spec factory, lambda levels, steps, gop generator)
+# tiny rung: 64x64 GOP 4 single-motion clips; hd rung: 128x128 GOP 8
+# multi-object clips with real motion boundaries (data/synthetic.py) at
+# FULL reference channel widths — the flagship-vs-parity head-to-head
+# (VERDICT round-2 item 2) and the one-rung-up RD evidence (item 9).
+_tiny_gen = synth_gop
+_hd_gen = lambda rng: synth_gop_multi(rng, size=128, gop=8)
+
 FAMILIES = {
     "lsvctpu": (lambda lvl: get_codec_model(
-        "LSVC-TPU-TINY", compression_level=lvl), (0, 2, 4), 800),
+        "LSVC-TPU-TINY", compression_level=lvl), (0, 2, 4), 800, _tiny_gen),
     "rlvc": (lambda lvl: get_codec_model("RLVC-TINY", compression_level=lvl),
-             (0, 2, 4), 800),
+             (0, 2, 4), 800, _tiny_gen),
     "dvc": (lambda lvl: get_codec_model("DVC-TINY", compression_level=lvl),
-            (0, 2, 4), 800),
+            (0, 2, 4), 800, _tiny_gen),
     "base": (lambda lvl: get_codec_model("Base-ER-TINY", compression_level=lvl),
-             (0, 2, 4), 800),
+             (0, 2, 4), 800, _tiny_gen),
     "mcvc": (lambda lvl: get_codec_model(
-        "MCVC-IA-TINY", num_views=3, compression_level=lvl), (0, 3, 6), 1200),
+        "MCVC-IA-TINY", num_views=3, compression_level=lvl), (0, 3, 6), 1200,
+        None),
+    "lsvc128_hd": (lambda lvl: get_codec_model(
+        "LSVC-128", compression_level=lvl), (0, 2, 4), 1500, _hd_gen),
+    "lsvctpu_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU", compression_level=lvl), (0, 2, 4), 1500, _hd_gen),
 }
 
 
@@ -67,7 +85,7 @@ def flatten_f16(tree, prefix=""):
     return out
 
 
-def train_single_view(spec, steps: int, seed: int = 0):
+def train_single_view(spec, steps: int, seed: int = 0, gen=synth_gop):
     """RLVC/DVC/Base recipe: make_train_step over the per-family rollout
     (Base-ER with the soft2hard three-pass schedule, models.py:318-344)."""
     cfg = TrainConfig(
@@ -78,7 +96,7 @@ def train_single_view(spec, steps: int, seed: int = 0):
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
-    gop0 = jnp.asarray(synth_gop(rng))
+    gop0 = jnp.asarray(gen(rng))
     params = init_params(spec, gop0, key)
     init_fn, step_fn = make_train_step(spec, cfg)
     opt_state = init_fn(params)
@@ -100,7 +118,7 @@ def train_single_view(spec, steps: int, seed: int = 0):
     t0 = time.time()
     for s in range(0, steps, CHUNK):
         n = min(CHUNK, steps - s)
-        gops = jnp.stack([jnp.asarray(synth_gop(rng)) for _ in range(n)])
+        gops = jnp.stack([jnp.asarray(gen(rng)) for _ in range(n)])
         key, *sks = jax.random.split(key, n + 1)
         if n != CHUNK:  # tail chunk would retrace; run it stepwise
             jstep = jax.jit(step_fn)
@@ -206,7 +224,7 @@ def main():
     args = ap.parse_args()
 
     for fam in args.families:
-        make_spec, levels, steps = FAMILIES[fam]
+        make_spec, levels, steps, gen = FAMILIES[fam]
         steps = args.steps or steps
         if args.levels is not None:
             levels = [l for l in levels if l in args.levels]
@@ -217,8 +235,10 @@ def main():
             if fam == "mcvc":
                 params = train_mcvc(spec, steps)
             else:
-                params = train_single_view(spec, steps)
-            path = os.path.join(args.out, f"tiny_{fam}_l{lvl}.npz")
+                params = train_single_view(spec, steps, gen=gen)
+            prefix = "hd_" if fam.endswith("_hd") else "tiny_"
+            stem = fam[:-3] if fam.endswith("_hd") else fam
+            path = os.path.join(args.out, f"{prefix}{stem}_l{lvl}.npz")
             np.savez(path, **flatten_f16(params))
             print(f"  saved {path} "
                   f"({os.path.getsize(path) / 1e6:.1f} MB)", flush=True)
