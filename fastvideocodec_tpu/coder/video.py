@@ -204,9 +204,15 @@ def _coder2d_fn_cached(codec_name: str, dec4_name: str, which: str):
         def fn(mod, lh, sd):
             c = getattr(mod, codec_name)
             return c.decode(lh, sd, None, getattr(mod, dec4_name))
-    else:  # "rpm"
+    elif which == "rpm":
         def fn(mod, pl, rh):
             return getattr(mod, codec_name).entropy.rpm(pl, rh)
+    elif which == "hp_enc":
+        def fn(mod, y):
+            return getattr(mod, codec_name).entropy.hyper_encode(y)
+    else:  # "hp_dec"
+        def fn(mod, zh):
+            return getattr(mod, codec_name).entropy.hyper_decode(zh)
     return fn
 
 
@@ -797,6 +803,48 @@ def _rlvc_codec_real(spec, params, codec_name, dec4_name, x, rae_hidden,
     return hat, rae_hidden, rpm_hidden, prior_latent, stream, latent_hat.shape
 
 
+def _rlvc_codec_real_ms(spec, params, codec_name, dec4_name, x, rae_hidden,
+                        fz_codec, gcodec):
+    """One Coder2D pass with MeanScaleHyperPriors real coding (RLVC-HP;
+    reference entropy_models.py:250-324): z via the factorized bottleneck
+    tables, the latent via the scale-table Gaussian coder with decoded
+    (sigma, mu). entropy_trick semantics (:278-290): the reference permutes
+    [B,C,H,W] -> [1,C,B,H,W] so one rANS call codes the whole batch — the
+    host range coder here consumes the full tensor in ONE call natively."""
+    enc = _coder2d_fn(spec, codec_name, dec4_name, "enc")
+    dec = _coder2d_fn(spec, codec_name, dec4_name, "dec")
+    hp_enc = _coder2d_fn(spec, codec_name, dec4_name, "hp_enc")
+    hp_dec = _coder2d_fn(spec, codec_name, dec4_name, "hp_dec")
+
+    state_enc, state_dec = jnp.split(rae_hidden, 2, axis=-1)
+    latent, state_enc = _apply(spec, params, enc, x, state_enc)
+    z = _apply(spec, params, hp_enc, latent)
+    z_stream = fz_codec.compress(np.asarray(z))
+    z_hat = jnp.asarray(fz_codec.decompress(z_stream, z.shape))
+    sigma, mu = _apply(spec, params, hp_dec, z_hat)
+    y_stream = gcodec.compress(np.asarray(latent), np.asarray(sigma), np.asarray(mu))
+    latent_hat = jnp.round(latent - mu) + mu
+    hat, state_dec = _apply(spec, params, dec, latent_hat, state_dec)
+    rae_hidden = jnp.concatenate([state_enc, state_dec], axis=-1)
+    stream = {"z": z_stream, "y": y_stream, "z_shape": tuple(z.shape)}
+    return hat, rae_hidden, stream, latent_hat.shape
+
+
+def _rlvc_codec_real_ms_decode(spec, params, codec_name, dec4_name,
+                               rae_dec_state, latent_shape, stream,
+                               fz_codec, gcodec):
+    dec = _coder2d_fn(spec, codec_name, dec4_name, "dec")
+    hp_dec = _coder2d_fn(spec, codec_name, dec4_name, "hp_dec")
+
+    z_hat = jnp.asarray(fz_codec.decompress(stream["z"], stream["z_shape"]))
+    sigma, mu = _apply(spec, params, hp_dec, z_hat)
+    latent_hat = jnp.asarray(
+        gcodec.decompress(stream["y"], np.asarray(sigma), np.asarray(mu))
+    ).reshape(latent_shape)
+    hat, rae_dec_state = _apply(spec, params, dec, latent_hat, rae_dec_state)
+    return hat, rae_dec_state
+
+
 @_exact_warp_semantics
 def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     """RLVC real-bitstream encode over a GOP [T, H, W, 3] (frame 0 I-coded).
@@ -826,28 +874,47 @@ def rlvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     recon, streams = [], []
     from fastvideocodec_tpu.ops import flow_warp
 
+    mshyper = m.entropy_type == "mshyper"
     latent_shapes = {}
     for t in range(1, T):
         x_cur = gop[t][None]
         flag = t > 1
         mv = _apply(spec, params, _m_optic_flow, x_cur, x_ref)
-        mv_hat, rae_mv, rpm_mv, mv_prior, mv_stream, mv_shape = _rlvc_codec_real(
-            spec, params, "mv_codec", "mv_dec4", mv, rae_mv, rpm_mv, flag,
-            mv_prior, fmv, gc,
-        )
+        if mshyper:
+            mv_hat, rae_mv, mv_stream, mv_shape = _rlvc_codec_real_ms(
+                spec, params, "mv_codec", "mv_dec4", mv, rae_mv, fmv, gc,
+            )
+        else:
+            mv_hat, rae_mv, rpm_mv, mv_prior, mv_stream, mv_shape = _rlvc_codec_real(
+                spec, params, "mv_codec", "mv_dec4", mv, rae_mv, rpm_mv, flag,
+                mv_prior, fmv, gc,
+            )
         x_warp = flow_warp(x_ref, mv_hat)
         x_mc = _apply(spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)) + x_warp
         res = x_cur - x_mc
-        res_hat, rae_res, rpm_res, res_prior, res_stream, res_shape = _rlvc_codec_real(
-            spec, params, "res_codec", "res_dec4", res, rae_res, rpm_res, flag,
-            res_prior, fres, gc,
-        )
+        if mshyper:
+            res_hat, rae_res, res_stream, res_shape = _rlvc_codec_real_ms(
+                spec, params, "res_codec", "res_dec4", res, rae_res, fres, gc,
+            )
+        else:
+            res_hat, rae_res, rpm_res, res_prior, res_stream, res_shape = _rlvc_codec_real(
+                spec, params, "res_codec", "res_dec4", res, rae_res, rpm_res, flag,
+                res_prior, fres, gc,
+            )
         x_ref = jnp.clip(res_hat + x_mc, 0.0, 1.0)
         recon.append(x_ref[0])
         streams.append({"mv": mv_stream, "res": res_stream})
         latent_shapes = {"mv": tuple(mv_shape), "res": tuple(res_shape)}
-    bits = 8 * sum(len(s["mv"]) + len(s["res"]) for s in streams)
+    bits = 8 * sum(_stream_len(s["mv"]) + _stream_len(s["res"]) for s in streams)
     return streams, jnp.stack(recon), bits, latent_shapes
+
+
+def _stream_len(s) -> int:
+    """Byte length of one latent's stream(s): bytes for the rpm/rpm2 path,
+    {z, y} dict for the mshyper hyperprior path."""
+    if isinstance(s, dict):
+        return len(s["z"]) + len(s["y"])
+    return len(s)
 
 
 def _rlvc_codec_real_decode(spec, params, codec_name, dec4_name, rae_dec_state,
@@ -898,18 +965,31 @@ def rlvc_decompress_gop(spec: CodecSpec, params, iframe: jax.Array, streams,
 
     x_ref = iframe[None]
     recon = []
+    mshyper = m.entropy_type == "mshyper"
     for t, s in enumerate(streams, start=1):
         flag = t > 1
-        mv_hat, rae_mv_dec, rpm_mv, mv_prior = _rlvc_codec_real_decode(
-            spec, params, "mv_codec", "mv_dec4", rae_mv_dec, rpm_mv, flag,
-            mv_prior, latent_shapes["mv"], s["mv"], fmv, gc,
-        )
+        if mshyper:
+            mv_hat, rae_mv_dec = _rlvc_codec_real_ms_decode(
+                spec, params, "mv_codec", "mv_dec4", rae_mv_dec,
+                latent_shapes["mv"], s["mv"], fmv, gc,
+            )
+        else:
+            mv_hat, rae_mv_dec, rpm_mv, mv_prior = _rlvc_codec_real_decode(
+                spec, params, "mv_codec", "mv_dec4", rae_mv_dec, rpm_mv, flag,
+                mv_prior, latent_shapes["mv"], s["mv"], fmv, gc,
+            )
         x_warp = flow_warp(x_ref, mv_hat)
         x_mc = _apply(spec, params, _m_warpnet, jnp.concatenate([x_warp, x_ref], axis=-1)) + x_warp
-        res_hat, rae_res_dec, rpm_res, res_prior = _rlvc_codec_real_decode(
-            spec, params, "res_codec", "res_dec4", rae_res_dec, rpm_res, flag,
-            res_prior, latent_shapes["res"], s["res"], fres, gc,
-        )
+        if mshyper:
+            res_hat, rae_res_dec = _rlvc_codec_real_ms_decode(
+                spec, params, "res_codec", "res_dec4", rae_res_dec,
+                latent_shapes["res"], s["res"], fres, gc,
+            )
+        else:
+            res_hat, rae_res_dec, rpm_res, res_prior = _rlvc_codec_real_decode(
+                spec, params, "res_codec", "res_dec4", rae_res_dec, rpm_res, flag,
+                res_prior, latent_shapes["res"], s["res"], fres, gc,
+            )
         x_ref = jnp.clip(res_hat + x_mc, 0.0, 1.0)
         recon.append(x_ref[0])
     return jnp.stack(recon)

@@ -33,40 +33,47 @@ def _conv3(feats, dtype):
 class MeanScaleHyperPriors(nn.Module):
     """x -> (x_hat, (x_likelihood, z_likelihood), sigma, mu).
 
-    Library-level capability mirroring the reference exactly: there too,
-    MeanScaleHyperPriors is defined (entropy_models.py:150) and exercised
-    only by the entropy self-test (entropy_models.py:385) — no codec
-    instantiates it. Covered here by tests/test_entropy.py."""
+    The RLVC-era mean-scale hyperprior (reference entropy_models.py:150-324):
+    stride-1 conv hyper analysis h_a (:164-175) and synthesis h_s (:177-188)
+    — z has the SAME spatial shape as x — factorized bottleneck on z,
+    Gaussian conditional on x with decoded (sigma, mu). Real coding lives in
+    coder/service.MeanScaleCoder, which keeps the reference's
+    `entropy_trick` semantics (:278-290 — the whole batch coded in ONE
+    host-coder call). Wired as Coder2D entropy_type='mshyper' (codec name
+    'RLVC-HP', models/registry.py)."""
 
     channels: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        c, dt = self.channels, self.dtype
         self.bottleneck = EntropyBottleneck(self.channels)
         self.gaussian = GaussianConditional()
+        self.h_a = [_conv3(c, dt) for _ in range(4)]
+        self.h_s = [_conv3(c, dt) for _ in range(3)] + [_conv3(2 * c, dt)]
 
-    @nn.compact
-    def __call__(self, x, training: bool, rng=None):
-        c = self.channels
-        dt = self.dtype
+    def hyper_encode(self, x):
         lrelu = lambda v: jax.nn.leaky_relu(v, 0.01)
-        # h_a1 / h_a2 (entropy_models.py:164-175)
-        z = lrelu(_conv3(c, dt)(x))
-        z = lrelu(_conv3(c, dt)(z))
-        z = lrelu(_conv3(c, dt)(z))
-        z = _conv3(c, dt)(z)
+        z = x
+        for conv in self.h_a[:-1]:
+            z = lrelu(conv(z))
+        return self.h_a[-1](z)
 
+    def hyper_decode(self, z_hat):
+        """z_hat -> (sigma, mu); sigma = exp(max(raw, -7))
+        (entropy_models.py:205-207)."""
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.01)
+        g = z_hat
+        for conv in self.h_s[:-1]:
+            g = lrelu(conv(g))
+        sigma_raw, mu = jnp.split(self.h_s[-1](g), 2, axis=-1)
+        return jnp.exp(jnp.maximum(sigma_raw, -7.0)), mu
+
+    def __call__(self, x, training: bool, rng=None):
+        z = self.hyper_encode(x)
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         z_hat, z_lik = self.bottleneck(z, training=training, rng=rngs[0])
-
-        # h_s1 / h_s2 (entropy_models.py:177-188)
-        g = lrelu(_conv3(c, dt)(z_hat))
-        g = lrelu(_conv3(c, dt)(g))
-        g = lrelu(_conv3(c, dt)(g))
-        params = _conv3(2 * c, dt)(g)
-        sigma_raw, mu = jnp.split(params, 2, axis=-1)
-        sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0))
-
+        sigma, mu = self.hyper_decode(z_hat)
         x_hat, x_lik = self.gaussian(x, sigma, means=mu, training=training, rng=rngs[1])
         return x_hat, (x_lik, z_lik), sigma, mu
 

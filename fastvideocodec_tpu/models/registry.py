@@ -85,9 +85,15 @@ def get_codec_model(
         # miniature recurrent config for golden-RD tests (this framework's
         # own; ships trained weights in assets/) — exercises the
         # RecProbModel/RPM entropy path no hyperprior family covers
+        if name.startswith("RLVC-HP"):
+            ent = "mshyper"
+        elif name.startswith("RLVC2"):
+            ent = "rpm2"
+        else:
+            ent = "rpm"
         module = RLVC(
             channels=32,
-            entropy_type="rpm2" if name.startswith("RLVC2") else "rpm",
+            entropy_type=ent,
             spynet_widths=(8, 16, 8, 4),
             spynet_kernel=5,
             warp_width=16,
@@ -96,6 +102,14 @@ def get_codec_model(
         family = "rlvc"
     elif name == "RLVC2":
         module = RLVC(entropy_type="rpm2", dtype=dtype)
+        family = "rlvc"
+    elif name == "RLVC-HP":
+        # RLVC skeleton with the non-recurrent MeanScaleHyperPriors entropy
+        # model (reference entropy_models.py:150-324) in both Coder2Ds —
+        # the hyperprior path of the RLVC era; real coding keeps the
+        # reference's entropy_trick batching semantics (one host-coder
+        # call per latent tensor)
+        module = RLVC(entropy_type="mshyper", dtype=dtype)
         family = "rlvc"
     elif name == "DVC-pretrained":
         module = DVC(dtype=dtype)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fastvideocodec_tpu.entropy.bit_estimator import BitEstimator
+from fastvideocodec_tpu.entropy.hyperprior import MeanScaleHyperPriors
 from fastvideocodec_tpu.entropy.rpm import RPM, RecProbModel
 from fastvideocodec_tpu.layers.blocks import ConvLSTM, WarpNet
 from fastvideocodec_tpu.layers.spynet import SpyNet
@@ -63,6 +64,10 @@ class Coder2D(nn.Module):
         elif self.entropy_type == "rpm2":
             self.rpm = RPM(c, dtype=dt)
             self.bit_estimator = BitEstimator(c)
+        elif self.entropy_type == "mshyper":
+            # non-recurrent mean-scale hyperprior (reference
+            # entropy_models.py:150-324) — the 'RLVC-HP' variant
+            self.entropy = MeanScaleHyperPriors(c, dtype=dt)
         else:
             raise ValueError(f"unknown entropy_type {self.entropy_type}")
         # final deconv channel count depends on the input; created lazily
@@ -88,6 +93,16 @@ class Coder2D(nn.Module):
         return dec4(x), state_dec
 
     def entropy_code(self, latent, rpm_hidden, rpm_flag, prior_latent, training, rng):
+        if self.entropy_type == "mshyper":
+            # hyperprior is frame-local: the recurrent hidden/prior carry
+            # through untouched. x- and z-likelihoods share the latent's
+            # spatial shape (stride-1 hyper convs), so they concatenate on
+            # channels and the GOP engine's bits_estimate sums both rates.
+            latent_hat, (x_lik, z_lik), _, _ = self.entropy(
+                latent, training=training, rng=rng
+            )
+            likelihoods = jnp.concatenate([x_lik, z_lik], axis=-1)
+            return latent_hat, likelihoods, rpm_hidden, prior_latent
         if self.entropy_type == "rpm2":
             latent_hat = quantize(latent, training, rng)
             sigma_raw, _, new_hidden = self.rpm(prior_latent, rpm_hidden)
@@ -104,7 +119,7 @@ class Coder2D(nn.Module):
         return latent_hat, likelihoods, rpm_hidden, prior_latent
 
     def aux_loss(self):
-        if self.entropy_type == "rpm":
+        if self.entropy_type in ("rpm", "mshyper"):
             return self.entropy.aux_loss()
         return jnp.zeros(())
 

@@ -73,6 +73,7 @@ class TestBitEstimatorRoundtrip:
         assert abs(bits_act - bits_est) / max(bits_est, 1) < 0.15, (bits_act, bits_est)
 
 
+@pytest.mark.slow
 class TestLsvcRealBitstream:
     def test_encode_decode_identity_and_bits(self):
         from fastvideocodec_tpu.coder.video import lsvc_compress, lsvc_decompress
@@ -99,6 +100,7 @@ class TestLsvcRealBitstream:
         assert bits < 4 * bits_est
 
 
+@pytest.mark.slow
 class TestLsvcTpuRealBitstream:
     def test_encode_decode_identity(self):
         """The TPU-native s2d config must keep decode == encode-recon: the
@@ -122,6 +124,7 @@ class TestLsvcTpuRealBitstream:
         assert bits > 0
 
 
+@pytest.mark.slow
 class TestSsfRealBitstream:
     def test_encode_decode_identity(self):
         from fastvideocodec_tpu.coder.video import ssf_compress_gop, ssf_decompress_gop
@@ -138,6 +141,7 @@ class TestSsfRealBitstream:
         assert bits > 0
 
 
+@pytest.mark.slow
 class TestRlvcRealBitstream:
     def test_encode_decode_identity(self):
         from fastvideocodec_tpu.coder.video import (
@@ -158,7 +162,41 @@ class TestRlvcRealBitstream:
         np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
         assert bits > 0
 
+    def test_rlvc_hp_mshyper_encode_decode_identity(self):
+        """RLVC-HP: MeanScaleHyperPriors entropy in both Coder2Ds
+        (reference entropy_models.py:150-324). z codes via the factorized
+        bottleneck tables, the latent via the Gaussian coder with decoded
+        (sigma, mu) in ONE host-coder call per tensor (entropy_trick
+        semantics, :278-290). Also pins est-vs-actual bits: the concat'd
+        (x, z) likelihoods from the estimate must track the two streams."""
+        from fastvideocodec_tpu.coder.video import (
+            rlvc_compress_gop,
+            rlvc_decompress_gop,
+        )
+        from fastvideocodec_tpu.gop import rollout
+        from fastvideocodec_tpu.models import get_codec_model
 
+        spec = get_codec_model("RLVC-HP-TINY")
+        T, H, W = 3, 64, 64
+        gop = jax.random.uniform(jax.random.PRNGKey(3), (T, H, W, 3))
+        hidden = spec.module.init_hidden(1, H, W)
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop[0][None], gop[1][None], hidden, False
+        )
+        streams, recon, bits, shapes = rlvc_compress_gop(spec, params, gop)
+        dec = rlvc_decompress_gop(spec, params, gop[0], streams, shapes)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recon), atol=1e-5)
+        assert bits > 0
+        # estimated bits from the rollout's concat'd likelihoods: a
+        # random-init model's actual bits track the estimate loosely
+        _, metrics = jax.jit(partial(rollout, spec, training=False, rng=None))(
+            params, gop
+        )
+        bits_est = float(jnp.sum(metrics["bpp_est"])) * H * W
+        assert bits < 4 * bits_est + 512, (bits, bits_est)
+
+
+@pytest.mark.slow
 class TestElfvcRealBitstream:
     @pytest.mark.parametrize("name,sp_stage", [("ELFVC", 1), ("ELFVC-SP", 2)])
     def test_encode_decode_identity(self, name, sp_stage):
@@ -182,6 +220,7 @@ class TestElfvcRealBitstream:
         assert bits > 0
 
 
+@pytest.mark.slow
 class TestMcvcRealBitstream:
     def test_encode_decode_identity_masked_views(self):
         """Masked-view joint coding + backup cross-view-attention decode
@@ -260,6 +299,7 @@ class TestRunWarm:
         assert seen["n"] == 3 and seen["flag"] is True
 
 
+@pytest.mark.slow
 class TestDvcRealBitstream:
     def test_encode_decode_identity(self):
         """DVC sequential-chain real bits (reference DVC/net.py:121-205):
@@ -283,6 +323,7 @@ class TestDvcRealBitstream:
         assert recon.shape == (T - 1, H, W, 3)
 
 
+@pytest.mark.slow
 class TestBaseRealBitstream:
     @pytest.mark.parametrize("name", ["Base", "Base-EC", "Base-ER"])
     def test_encode_decode_identity(self, name):
