@@ -67,9 +67,19 @@ def parse_args(argv=None):
     p.add_argument("--frame-comb", type=int, default=0,
                    help="x26x multiview frame layout 0-3")
     p.add_argument("--log-key", default="",
-                   help="extra log filename key (the reference's per-"
-                        "experiment log family: cat/c2s/sr/si/mps/dr/..., "
-                        "train_multiview.py:603-894)")
+                   help="per-experiment log family key (cat/c2s/sr/si/mps/"
+                        "dr/sisr/ablation/longterm): results append to "
+                        "{codec}.{key}.log as '<value>,<level>,<bpp>,<psnr>,"
+                        "<completeness>' rows, the filenames/format the "
+                        "reference's MCVC tooling parses "
+                        "(train_multiview.py:603-894)")
+    p.add_argument("--log-key-value", default="",
+                   help="value of the swept variable recorded in the per-key"
+                        " log row (defaults to the category id)")
+    p.add_argument("--real-bits", action="store_true",
+                   help="eval task: drive the actual MCVC bitstream encode "
+                        "AND decode (masked-view real coding); logs bpp_act "
+                        "with bpp_est/enc_t/dec_t as aux fields")
     p.add_argument("--probe-bw-limit", type=float, default=0.0,
                    help=">0: probe the OLFT touch-up rate (bits/s) and set "
                         "the frame sampling interval to fit this budget")
@@ -141,7 +151,13 @@ def eval_multicam(args):
     """Model-based multicam eval (reference static_simulation_model_multicam,
     train_multiview.py:408-416): per level, run the jitted GOP rollout over
     the test split and append 'cat,lvl,bpp,psnr,completeness' to
-    {codec}.avg.log — the table the network-trace simulation consumes."""
+    {codec}.avg.log — the table the network-trace simulation consumes.
+
+    --real-bits drives the masked-view real bitstream encode AND decode
+    (mcvc_compress_gop/mcvc_decompress_gop): bpp becomes bpp_act (coded
+    bytes / all pixels, matching the reference's multicam bit accounting,
+    train_multiview.py:161-210), PSNR is measured on the decoded frames
+    over alive views, and the row gains ',bpp_est,enc_t,dec_t' aux fields."""
     ds = MultiViewVideoDataset(
         args.dataset_dir, args.category, gop_size=args.gop, split="test",
         frame_size=args.frame_size,
@@ -166,32 +182,65 @@ def eval_multicam(args):
         )
         ckpt = (f"{args.ckpt_dir}/{args.codec}-{lvl}"
                 f"{args.loss_type}-{ds.category}")
+        have_ckpt = True
         try:
             state = load_checkpoint(ckpt, {"params": params}, prefer_best=True)
             params = state["params"]
         except FileNotFoundError:
-            print(f"WARNING: no checkpoint at {ckpt}; random init")
+            have_ckpt = False
+            print(f"WARNING: no checkpoint at {ckpt}; random init — "
+                  "row will be flagged untrained")
         jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
         psnr_m, bpp_m, comp_m = AverageMeter(), AverageMeter(), AverageMeter()
+        bppe_m, enc_m, dec_m = AverageMeter(), AverageMeter(), AverageMeter()
         n = min(len(ds), 10 if args.debug else len(ds))
         if n == 0:
             raise SystemExit(
                 f"test split of category {ds.category} has no full GOP "
                 f"(need > {args.gop} frames after the 80/20 split)"
             )
+        alive = np.asarray(mask) > 0
         for i in range(n):
             gop = jnp.asarray(ds[i])
             _, m = jroll(params, gop, mask=mask)
-            psnr_m.update(float(jnp.mean(m["psnr"])))
-            bpp_m.update(float(jnp.mean(m["bpp_est"])))
             comp_m.update(float(m.get("completeness", 1.0)))
+            bppe_m.update(float(jnp.mean(m["bpp_est"])))
+            if args.real_bits:
+                from fastvideocodec_tpu.train.evaluate import _real_bits_gop
+
+                p_rec, key_rec, bits, enc_t, dec_t, _, _ = _real_bits_gop(
+                    spec, params, gop, mask=mask
+                )
+                recon = np.concatenate([key_rec[None], p_rec], axis=0)
+                raw = np.asarray(gop)
+                mse = np.mean((recon[:, alive] - raw[:, alive]) ** 2)
+                psnr_m.update(10 * np.log10(1.0 / max(float(mse), 1e-12)))
+                T = raw.shape[0]
+                bpp_m.update(bits / (T * V * raw.shape[2] * raw.shape[3]))
+                enc_m.update(enc_t / T)
+                dec_m.update(dec_t / T)
+            else:
+                psnr_m.update(float(jnp.mean(m["psnr"])))
+                bpp_m.update(float(jnp.mean(m["bpp_est"])))
+        row = (f"{args.category},{lvl},{bpp_m.avg:.4f},{psnr_m.avg:.4f},"
+               f"{comp_m.avg:.4f}")
+        if args.real_bits:
+            row += f",{bppe_m.avg:.4f},{enc_m.avg:.4f},{dec_m.avg:.4f}"
+        if not have_ckpt:
+            row += ",untrained"
         with open(f"{args.codec}.avg.log", "a") as f:
             # category ID (int), matching the reference's avg.log format
             # and analysis.read_avg_log
-            f.write(f"{args.category},{lvl},{bpp_m.avg:.4f},{psnr_m.avg:.4f},"
-                    f"{comp_m.avg:.4f}\n")
+            f.write(row + "\n")
+        if args.log_key:
+            val = args.log_key_value or str(args.category)
+            with open(f"{args.codec}.{args.log_key}.log", "a") as f:
+                f.write(f"{val},{lvl},{bpp_m.avg:.4f},{psnr_m.avg:.4f},"
+                        f"{comp_m.avg:.4f}\n")
         print(f"eval cat {ds.category} lvl {lvl}: bpp {bpp_m.avg:.4f} "
-              f"psnr {psnr_m.avg:.2f} completeness {comp_m.avg:.2f}")
+              f"psnr {psnr_m.avg:.2f} completeness {comp_m.avg:.2f}"
+              + (f" enc {enc_m.avg*1e3:.1f}ms dec {dec_m.avg*1e3:.1f}ms"
+                 if args.real_bits else ""))
 
 
 def main(argv=None):
@@ -253,8 +302,7 @@ def main(argv=None):
               f"(budget {args.probe_bw_limit/1e6:.2f} Mbps)")
 
     psnr_m, bpp_m, touch_m = AverageMeter(), AverageMeter(), AverageMeter()
-    key_part = f".{args.log_key}" if args.log_key else ""
-    progress_log = f"{args.codec}.{train_ds.category}{key_part}.log"
+    progress_log = f"{args.codec}.{train_ds.category}.log"
     t0 = time.time()
     for step in range(args.steps):
         pool = train_ds.sample(step)
@@ -300,6 +348,13 @@ def main(argv=None):
         progress_log, args.compression_level, bpp_m.avg, 0.0, 0.0,
         [psnr_m.avg], aux=(touch_m.avg,),
     )
+    if args.log_key:
+        # the reference's per-experiment log family ({codec}.{key}.log,
+        # train_multiview.py:603-894): '<swept value>,<level>,...' CSV rows
+        val = args.log_key_value or str(train_ds.category)
+        with open(f"{args.codec}.{args.log_key}.log", "a") as f:
+            f.write(f"{val},{args.compression_level},{bpp_m.avg:.4f},"
+                    f"{psnr_m.avg:.4f},{touch_m.avg:.4f}\n")
     print(f"done: psnr {psnr_m.avg:.2f} bpp {bpp_m.avg:.4f} -> {ckpt_dir}")
 
 

@@ -43,12 +43,16 @@ def code_iframe(frame: np.ndarray, i_level: int):
     return frame.copy(), 24.0, 10 * np.log10(1.0 / mse)
 
 
-def _real_bits_gop(spec: CodecSpec, params, gop: jnp.ndarray):
+def _real_bits_gop(spec: CodecSpec, params, gop: jnp.ndarray, mask=None):
     """Dispatch one GOP through the family's real-bitstream encode AND
     decode (reference compress_slow/decompress_slow net-vs-AC accounting,
     entropy_models.py:97-148). Returns
     (p_recon [T-1, H, W, 3], key_recon or None, bits_act,
-     enc_t, dec_t, enc_ac_t, dec_ac_t)."""
+     enc_t, dec_t, enc_ac_t, dec_ac_t).
+
+    For family 'mcvc' the gop is [T, B*V, H, W, 3] and `mask` carries the
+    alive-view mask; the return's p_recon is [T-1, B*V, H, W, 3] and
+    key_recon is [B*V, H, W, 3] (the jointly coded keyframe)."""
     from fastvideocodec_tpu.coder import measure_ac_time
     from fastvideocodec_tpu.coder import video as cv
     from fastvideocodec_tpu.utils.meters import StageTimers
@@ -111,6 +115,17 @@ def _real_bits_gop(spec: CodecSpec, params, gop: jnp.ndarray):
         dec, dec_t, dec_ac = timed(lambda: decompress(spec, params, streams))
         dec = np.asarray(dec)[:, 0]
         return dec[1:], dec[0], bits, enc_t, dec_t, enc_ac, dec_ac
+    if fam == "mcvc":
+        if mask is None:
+            mask = jnp.ones((gop.shape[1],), gop.dtype)
+        (streams, recon, bits), enc_t, enc_ac = timed(
+            lambda: cv.mcvc_compress_gop(spec, params, gop, mask)
+        )
+        dec, dec_t, dec_ac = timed(
+            lambda: cv.mcvc_decompress_gop(spec, params, streams)
+        )
+        dec = np.asarray(dec)
+        return dec[1:], dec[0], bits, enc_t, dec_t, enc_ac, dec_ac
     raise ValueError(f"no real-bitstream path for family '{fam}'")
 
 
@@ -131,18 +146,31 @@ def evaluate_video(
     real_bits=True drives the family's actual bitstream encode AND decode:
     bpp becomes bpp_act (coded bytes), enc_t/dec_t are genuinely separate,
     and the log's aux fields carry the net-vs-AC split
-    (aux = enc_ac_t, dec_ac_t, bpp_est) — reference eval.py:332-337."""
+    (aux = enc_ac_t, dec_ac_t, bpp_est, msssim_db) — reference
+    eval.py:332-337.
+
+    MS-SSIM is computed per frame next to PSNR whenever the clip is big
+    enough for 5-scale MS-SSIM (reference eval.py:199-220 logs both; the
+    msssim 'quality' is -10*log10(1-msssim), models.py:475-487). When
+    spec.loss_type == 'M' the per-frame quality list written to the log is
+    the MS-SSIM quality (what the reference's msssim-mode plots parse);
+    otherwise it is PSNR and the mean MS-SSIM rides the aux fields."""
+    from fastvideocodec_tpu.ops.msssim import msssim_db
+
     jit_rollout = jax.jit(
         partial(rollout, spec, training=False, rng=None)
     )
+    jit_msssim = jax.jit(msssim_db)
     bpp_meter = AverageMeter()
     bpp_est_meter = AverageMeter()
     psnr_meter = AverageMeter()
+    msssim_meter = AverageMeter()
     enc_meter = AverageMeter()
     dec_meter = AverageMeter()
     enc_ac_meter = AverageMeter()
     dec_ac_meter = AverageMeter()
     all_psnr: list[float] = []
+    all_msssim: list[float] = []
     buf: list[np.ndarray] = []
     gops_done = 0
     # SSF-family streams self-code the keyframe (neural I-branch); BPG
@@ -162,12 +190,30 @@ def evaluate_video(
         if T < 2:
             continue
         # I-frame
+        # 5-scale MS-SSIM needs min(H, W) > 160 (same constraint as
+        # pytorch_msssim); smaller eval clips log PSNR only
+        do_msssim = min(gop.shape[-3], gop.shape[-2]) > 160
+
+        def quality(x_hat_f: np.ndarray, raw_f: np.ndarray):
+            mse = np.mean((x_hat_f - raw_f) ** 2)
+            p = 10 * np.log10(1.0 / max(float(mse), 1e-12))
+            m = (
+                float(jit_msssim(jnp.asarray(x_hat_f)[None], jnp.asarray(raw_f)[None]))
+                if do_msssim
+                else None
+            )
+            return p, m
+
         if compress_iframe:
             rec0, i_bpp, i_psnr = code_iframe(gop[0], spec.I_level)
+            _, i_ms = quality(rec0, gop[0])
             gop[0] = rec0
             bpp_meter.update(i_bpp)
             psnr_meter.update(i_psnr)
             all_psnr.append(i_psnr)
+            if i_ms is not None:
+                msssim_meter.update(i_ms)
+                all_msssim.append(i_ms)
         padded, (h, w) = pad_to_multiple(gop, 64)
         # estimated-bits rollout (runs in both modes: bpp_est is logged as
         # an aux field next to bpp_act so drift is visible)
@@ -185,10 +231,12 @@ def evaluate_video(
             )
             x_hat = p_rec[:, :h, :w]
             if key_rec is not None:
-                kmse = np.mean((key_rec[:h, :w] - gop[0]) ** 2)
-                kp = 10 * np.log10(1.0 / max(float(kmse), 1e-12))
+                kp, km = quality(key_rec[:h, :w], gop[0])
                 all_psnr.append(kp)
                 psnr_meter.update(kp)
+                if km is not None:
+                    msssim_meter.update(km)
+                    all_msssim.append(km)
             bpp_meter.update(bits / ((T - 1) * h * w), T - 1)
             enc_meter.update(enc_t / (T - 1), T - 1)
             dec_meter.update(dec_t / (T - 1), T - 1)
@@ -204,23 +252,32 @@ def evaluate_video(
             bpp_meter.update(float(np.mean(bpps)) * scale, T - 1)
 
         for i in range(T - 1):
-            mse = np.mean((x_hat[i] - gop[1 + i]) ** 2)
-            p = 10 * np.log10(1.0 / max(mse, 1e-12))
+            p, m = quality(x_hat[i], gop[1 + i])
             all_psnr.append(p)
             psnr_meter.update(p)
+            if m is not None:
+                msssim_meter.update(m)
+                all_msssim.append(m)
         gops_done += 1
 
         if eof and log_path:
+            ms_avg = msssim_meter.avg if msssim_meter.count else 0.0
             aux = (
-                (enc_ac_meter.avg, dec_ac_meter.avg, bpp_est_meter.avg)
+                (enc_ac_meter.avg, dec_ac_meter.avg, bpp_est_meter.avg, ms_avg)
                 if real_bits
-                else ()
+                else (ms_avg,)
+            )
+            # msssim loss mode logs the MS-SSIM quality list (what the
+            # reference's msssim-mode plot parsing expects); PSNR otherwise
+            quality_list = (
+                all_msssim if spec.loss_type == "M" and all_msssim else all_psnr
             )
             write_eval_log(
                 log_path, level, bpp_meter.avg, enc_meter.avg, dec_meter.avg,
-                all_psnr, aux=aux,
+                quality_list, aux=aux,
             )
             all_psnr = []
+            all_msssim = []
         if max_gops and gops_done >= max_gops:
             break
 
@@ -228,6 +285,7 @@ def evaluate_video(
         "bpp": bpp_meter.avg,
         "bpp_est": bpp_est_meter.avg,
         "psnr": psnr_meter.avg,
+        "msssim_db": msssim_meter.avg if msssim_meter.count else None,
         "sec_per_frame": enc_meter.avg,
         "dec_sec_per_frame": dec_meter.avg,
     }

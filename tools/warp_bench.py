@@ -50,9 +50,13 @@ def bench(name, B, H, W, C, R, pixel_mode, dtype):
 
 def bench_formatting(name, B, H, W, C, R, dtype):
     """Quantify the XLA data-formatting copies around the kernel (ROADMAP
-    round-3 candidate: NHWC->planar pad in, tiled->NHWC untile out). Times
-    each stage standalone — fusion inside the full dispatch can differ, so
-    treat as an upper-bound share, not an exact split."""
+    round-3 candidate: NHWC->planar pad in, pre-tiled flow in, tiled->NHWC
+    untile out; warp_kernel.py _pallas_warp operand prep). Each formatted
+    array passes through lax.optimization_barrier before the reduction so
+    XLA must materialize it (it cannot fuse the transpose/pad into the
+    mean) — mirroring the real dispatch, where the pallas_call operand
+    forces materialization. Stages are still timed standalone, so fusion
+    ACROSS stages in the full dispatch can differ slightly."""
     from fastvideocodec_tpu.ops.pallas.warp_kernel import (
         TILE_H, TILE_W, _round_up,
     )
@@ -65,6 +69,7 @@ def bench_formatting(name, B, H, W, C, R, dtype):
 
     key = jax.random.PRNGKey(0)
     img = jax.random.uniform(key, (B, H, W, C), dtype)
+    flow = jax.random.uniform(key, (B, H, W, 2), jnp.float32)
     tiled = jax.random.uniform(key, (B, nI, nJ, C, p), dtype)
 
     def fmt_in(i):
@@ -73,13 +78,26 @@ def bench_formatting(name, B, H, W, C, R, dtype):
             ((0, 0), (0, 0), (R, Hh - th - R), (R, Wh - TILE_W - R)),
             mode="edge",
         )
-        return jnp.mean(xpad)
+        return jnp.mean(jax.lax.optimization_barrier(xpad))
+
+    def fmt_flow(f):
+        flow_t = (
+            f.reshape(B, nI, th, nJ, TILE_W, 2)
+            .transpose(0, 1, 3, 5, 2, 4)
+            .reshape(B, nI, nJ, 2, p)
+        )
+        return jnp.mean(jax.lax.optimization_barrier(flow_t))
 
     def untile(o):
         o = o.reshape(B, nI, nJ, C, th, TILE_W)
-        return jnp.mean(o.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C))
+        out = o.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C)
+        return jnp.mean(jax.lax.optimization_barrier(out))
 
-    for tag, fn, arg in (("fmt_in", fmt_in, img), ("untile", untile, tiled)):
+    for tag, fn, arg in (
+        ("fmt_in", fmt_in, img),
+        ("fmt_flow", fmt_flow, flow),
+        ("untile", untile, tiled),
+    ):
         jf = jax.jit(fn)
         _ = float(jf(arg))
         iters = 5
@@ -115,18 +133,28 @@ def bench_null():
 
 
 if __name__ == "__main__":
-    only = sys.argv[1] if len(sys.argv) > 1 else ""
+    # usage: warp_bench.py [CASE_SUBSTRING] [--no-kernel] [--no-fmt]
+    # The case-name filter applies to BOTH the kernel and the formatting
+    # benches; --no-kernel / --no-fmt skip a whole section.
+    argv = sys.argv[1:]
+    run_kernel = "--no-kernel" not in argv
+    run_fmt = "--no-fmt" not in argv
+    words = [a for a in argv if not a.startswith("--")]
+    only = words[0] if words else ""
     bench_null()
-    for case in CASES:
-        if only and only not in case[0]:
-            continue
-        try:
-            bench(*case)
-        except Exception as e:  # compile failures (VMEM OOM) shouldn't
-            print(f"{case[0]}: FAILED {type(e).__name__}: {str(e)[:200]}")
-        sys.stdout.flush()
-    if not only or only == "fmt":
+    if run_kernel:
+        for case in CASES:
+            if only and only not in case[0]:
+                continue
+            try:
+                bench(*case)
+            except Exception as e:  # compile failures (VMEM OOM) shouldn't
+                print(f"{case[0]}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            sys.stdout.flush()
+    if run_fmt:
         for name, B, H, W, C, R, pixel_mode, dtype in CASES[:2]:
+            if only and only not in name:
+                continue
             try:
                 bench_formatting(name, B, H, W, C, R, dtype)
             except Exception as e:
