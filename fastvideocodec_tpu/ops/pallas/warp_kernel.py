@@ -34,7 +34,13 @@ Semantics match ops.warp.flow_warp (linspace grid + flow/(size-1)*2, border
 padding, align_corners=False) exactly for |flow| <= R; larger displacements
 clamp to R (per call site — motion-compensation warps of a trained codec
 need far less halo than full-res SPyNet). Backward falls back to the XLA
-implementation via custom_vjp, so training gradients are exact.
+implementation via custom_vjp, so gradients are exact — and because a
+CLAMPED forward paired with an exact gradient could bias training at
+motion boundaries where the clamp binds, make_train_step forces the exact
+warp for the whole training step (train/trainer.py): this kernel serves
+inference and benchmarking, where shapes are 1080p+ and no gradient
+exists. The clamp's effect under optimization is measured (not assumed) in
+tests/test_pallas_warp.py::TestTrainingWarpSemantics.
 
 v5 offset mode (active when R >= ~20): the horizontal halo width is
 lane-locked at round_up(TILE_W + 2R + 1, 128) = 256 for every R <= 63, so

@@ -212,18 +212,31 @@ def make_train_step(
         return tx.init(params)
 
     def loss_fn(params, gop, rng, mask):
-        if not batched:
-            return gop_loss(spec, params, gop, True, rng, cfg, mask)
-        rngs = jax.random.split(rng, gop.shape[0])
-        if mask is None:
-            losses, metrics = jax.vmap(
-                lambda g, r: gop_loss(spec, params, g, True, r, cfg, None)
-            )(gop, rngs)
-        else:
-            losses, metrics = jax.vmap(
-                lambda g, r, mk: gop_loss(spec, params, g, True, r, cfg, mk)
-            )(gop, rngs, mask)
-        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+        # Training always uses the EXACT warp for forward AND backward: the
+        # Pallas kernel's v5 vertical-window clamp can disagree with the
+        # exact gather at motion boundaries with >±12 rows of divergent
+        # vertical motion, and pairing a clamped forward with the exact
+        # gradient (ops/pallas/warp_kernel.py custom_vjp) would silently
+        # bias training. Training shapes (64²-256² crops) are where the XLA
+        # gather is cheap anyway — the kernel is a 1080p+ inference/bench
+        # win (module docstring). exact_warp flips a trace-time switch, so
+        # it binds here, inside the traced step. Parity + the measured
+        # clamp effect: tests/test_pallas_warp.py (training-parity tests).
+        from fastvideocodec_tpu.ops.warp import exact_warp
+
+        with exact_warp():
+            if not batched:
+                return gop_loss(spec, params, gop, True, rng, cfg, mask)
+            rngs = jax.random.split(rng, gop.shape[0])
+            if mask is None:
+                losses, metrics = jax.vmap(
+                    lambda g, r: gop_loss(spec, params, g, True, r, cfg, None)
+                )(gop, rngs)
+            else:
+                losses, metrics = jax.vmap(
+                    lambda g, r, mk: gop_loss(spec, params, g, True, r, cfg, mk)
+                )(gop, rngs, mask)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
 
     def step_fn(params, opt_state, gop, rng, mask=None):
         (loss, metrics), grads = jax.value_and_grad(
