@@ -22,6 +22,7 @@ latents, not on their bitstreams.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +39,23 @@ from fastvideocodec_tpu.ops.warp import (
 
 
 def _exact_warp_semantics(fn):
-    """Real-bitstream paths force the backend-independent XLA warp: the
-    Pallas kernel's displacement clamp would make a TPU-encoded stream
-    decode differently on CPU (or vice versa), breaking decode==encode."""
+    """Real-bitstream paths default to the backend-independent XLA warp:
+    the Pallas kernel's displacement clamp would make a TPU-encoded stream
+    decode differently on CPU (or vice versa), breaking decode==encode.
+
+    FVC_CODER_WARP=native opts into the kernel for SAME-DEVICE
+    encode+decode (the kernel is deterministic, so encoder and decoder
+    reproduce each other's motion compensation exactly when both run it on
+    identical shapes/backend — the identity tests still hold); use it when
+    the producer and consumer share the deployment, e.g. the live-analytics
+    loop, or to measure the honest on-chip real-bits fps
+    (tools/real_bits_fps.py). Streams meant to cross devices must keep the
+    exact default."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
+        if os.environ.get("FVC_CODER_WARP", "exact") == "native":
+            return fn(*args, **kwargs)
         with exact_warp():
             return fn(*args, **kwargs)
 
