@@ -116,22 +116,28 @@ class WarpNetTPU(nn.Module):
     out_channels: int = 12
     width: int = 128
     depth: int = 4
+    stem_stride: int = 4  # trunk resolution = input / stem_stride; 2 gives
+    # the refinement 4x more spatial positions (the hd-rung RD experiments
+    # showed the stride-4 trunk adds ~0 dB over the raw warp on content
+    # with motion boundaries, while a /2 trunk tracks the reference U-net)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from fastvideocodec_tpu.ops.warp import depth_to_space
 
-        w = self.width
+        w, s = self.width, self.stem_stride
         c = jax.nn.relu(
-            nn.Conv(w, (5, 5), strides=(4, 4), padding=2, dtype=self.dtype)(x)
+            nn.Conv(
+                w, (5, 5), strides=(s, s), padding=2, dtype=self.dtype
+            )(x)
         )
         for _ in range(self.depth):
             c = ResBlock(w, dtype=self.dtype)(c)
         r = nn.Conv(
-            self.out_channels * 16, (3, 3), padding=1, dtype=self.dtype
+            self.out_channels * s * s, (3, 3), padding=1, dtype=self.dtype
         )(c)
-        return depth_to_space(r, 4)
+        return depth_to_space(r, s)
 
 
 class MEBasic(nn.Module):

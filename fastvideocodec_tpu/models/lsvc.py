@@ -35,6 +35,7 @@ from fastvideocodec_tpu.layers.transforms import (
 )
 from fastvideocodec_tpu.ops import (
     avg_pool2,
+    bilinear_upsample_x2,
     bits_estimate,
     depth_to_space,
     flow_warp,
@@ -78,10 +79,18 @@ class LSVC(nn.Module):
     spynet_s2d_levels: int = 0   # finest-N s2d-domain towers (spynet.py)
     conv_channels: int = 0       # 0: family defaults (N=64 res, 128 mv)
     warp_width: int = 64         # WarpNet trunk width
-    warp_tpu: bool = False       # use the quarter-res-trunk WarpNetTPU
+    warp_tpu: bool = False       # use the strided-trunk WarpNetTPU
+    warp_stride: int = 4         # WarpNetTPU stem stride (trunk at /stride)
     mv_polyphase_out: bool = False  # SynthesisMVNet polyphase output stage
     mc_displacement: int = 0     # >0: bound MC-warp displacement (Pallas
-    # halo radius, in s2d-domain pixels); 0 = backend default
+    # halo radius, in MC-warp-domain pixels); 0 = backend default
+    full_res_warp: bool = False  # s2d>1 only: run the MC warp at FULL
+    # resolution (d2s ref -> 3ch warp with x2-upsampled flow -> s2d back).
+    # The s2d-domain warp moves whole 2x2 pixel blocks rigidly — odd
+    # full-res displacements are inexpressible — which costs RD on
+    # content with fine motion; this restores the reference's exact warp
+    # semantics (models.py:730-752) while the refinement + residual
+    # pipeline stays in the cheap s2d domain.
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -122,7 +131,8 @@ class LSVC(nn.Module):
         self.bit_estimator_z = BitEstimator(OUT_CHANNEL_N)
         if self.warp_tpu:
             self.warpnet = WarpNetTPU(
-                out_channels=img_c, width=self.warp_width, dtype=dt
+                out_channels=img_c, width=self.warp_width,
+                stem_stride=self.warp_stride, dtype=dt,
             )
         else:
             self.warpnet = WarpNet(
@@ -136,7 +146,16 @@ class LSVC(nn.Module):
 
     def motioncompensation(self, ref, mv):
         r = self.mc_displacement if self.mc_displacement > 0 else None
-        warped = flow_warp(ref, mv, max_displacement=r)
+        if self.full_res_warp and self.s2d > 1:
+            ref_full = depth_to_space(ref, self.s2d)
+            mv_full = 2.0 * bilinear_upsample_x2(mv)
+            warped_full = flow_warp(
+                ref_full, mv_full,
+                max_displacement=None if r is None else 2 * r,
+            )
+            warped = space_to_depth(warped_full, self.s2d)
+        else:
+            warped = flow_warp(ref, mv, max_displacement=r)
         pred = self.warpnet(jnp.concatenate([warped, ref], axis=-1)) + warped
         return pred, warped
 

@@ -120,7 +120,7 @@ def get_codec_model(
             # miniature configs for golden-RD tests and fast experiments
             # (this framework's own; ship trained weights in assets/).
             # LSVC-TPU-TINY exercises the flagship's TPU-native
-            # architecture (s2d codec domain, WarpNetTPU, polyphase mv
+            # architecture (s2d codec domain, s2d WarpNet, polyphase mv
             # output) at golden-RD scale.
             tpu = "-TPU" in name
             module = LSVC(
@@ -132,7 +132,6 @@ def get_codec_model(
                 spynet_s2d_levels=2 if tpu else 0,
                 mv_polyphase_out=tpu,
                 warp_width=32 if tpu else 16,
-                warp_tpu=tpu,
                 mc_displacement=28 if tpu else 0,
                 graph=graph,
                 dtype=dtype,
@@ -141,7 +140,14 @@ def get_codec_model(
             # TPU-native config (this framework's own variant, no reference
             # counterpart): space-to-depth domain, pooled-RGB SpyNet with
             # 5x5 kernels, 128-wide transforms, bounded MC displacement
-            # (28 s2d px = 56 full-res px, the Pallas halo radius)
+            # (28 s2d px = 56 full-res px, the Pallas halo radius).
+            # MC refinement is the reference-shape U-net run in the s2d
+            # domain (half resolution, so ~1/4 the cost of the reference's
+            # full-res Warp_net): the round-3 hd-rung ablation measured the
+            # strided-trunk WarpNetTPU at +0.0 dB over the raw warp on
+            # motion-boundary content while the U-net tracks LSVC-128's
+            # refinement gain — RD comes first; set warp_tpu=True to trade
+            # ~0.3 dB for the cheaper refinement.
             module = LSVC(
                 channels=128,
                 conv_channels=128,
@@ -150,8 +156,7 @@ def get_codec_model(
                 spynet_kernels=(5, 5, 3, 3),
                 spynet_s2d_levels=2,
                 mv_polyphase_out=True,
-                warp_width=128,
-                warp_tpu=True,
+                warp_width=64,
                 mc_displacement=28,
                 use_attn="-A" in name,
                 use_syn_attn="-S" in name,

@@ -4,6 +4,8 @@ partial loaders."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,7 @@ import numpy as np
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 class TestEvolve:
     def test_encoder_mask_freezes_decoder(self):
         from functools import partial
@@ -153,6 +156,7 @@ class TestCheckpointLoaders:
         np.testing.assert_array_equal(out2["backup_dec"]["w"], 2.0)  # seeded
 
 
+@pytest.mark.slow
 class TestMsssimLoss:
     def test_loss_type_m(self):
         from functools import partial
@@ -184,6 +188,7 @@ class _FrameListDataset:
         return self.frames[i], i == len(self.frames) - 1
 
 
+@pytest.mark.slow
 class TestMsssimEvalLogging:
     def test_msssim_mode_logs_msssim_quality_list(self, tmp_path):
         """VERDICT round-2 item 5: eval must log MS-SSIM next to PSNR
@@ -228,6 +233,7 @@ class TestMsssimEvalLogging:
         assert all(abs(q - stats["psnr"]) > 1.0 for q in quality)
 
 
+@pytest.mark.slow
 class TestRealBitsEvaluation:
     def test_bpp_act_tracks_est_and_log_fields(self, tmp_path):
         """VERDICT round-1 item 3: real-bitstream evaluation must measure
@@ -296,6 +302,7 @@ class TestTraceSim:
         assert abs(simulate_over_trace(table[0], [1.0], views, pixels)["bpp"] - 0.1) < 1e-9
 
 
+@pytest.mark.slow
 class TestOlftProbe:
     def test_probe_interval_scales_with_budget(self):
         from functools import partial
@@ -325,6 +332,7 @@ class TestOlftProbe:
         assert lo > hi          # tight budget: sparser sampling
 
 
+@pytest.mark.slow
 class TestMcvcCompleteness:
     def test_completeness_and_alive_view_loss(self):
         from functools import partial
@@ -411,6 +419,7 @@ class TestGlobalMesh:
             raise AssertionError("expected ValueError for bad mesh size")
 
 
+@pytest.mark.slow
 class TestMulticamEvalTask:
     def test_eval_task_writes_avg_log(self, tmp_path, monkeypatch):
         """Driver smoke (VERDICT round-1 item 9): the multicam model-eval

@@ -37,7 +37,15 @@ def _init(spec, gop, mask=None):
 
 
 class TestForward:
-    @pytest.mark.parametrize("name", ["DVC", "RLVC2", "LSVC-128", "LSVC-TPU"])
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "DVC",
+            pytest.param("RLVC2", marks=pytest.mark.slow),
+            pytest.param("LSVC-128", marks=pytest.mark.slow),
+            "LSVC-TPU",
+        ],
+    )
     def test_rollout_shapes_and_finite(self, name):
         spec = get_codec_model(name)
         gop = jax.random.uniform(KEY, (T, H, W, 3))
@@ -55,6 +63,7 @@ class TestForward:
         sched = spec.module.schedule(15)
         assert sched.depth == 4  # log-depth, not 15
 
+    @pytest.mark.slow
     def test_mcvc_resilience_masking(self):
         spec = get_codec_model("MCVC-IA", num_views=4, resilience=2)
         V = 4
@@ -77,6 +86,8 @@ class TestForward:
 
 
 class TestTraining:
+    pytestmark = pytest.mark.slow  # full train-step compiles, >1 min each
+
     def test_dvc_train_step_reduces_nothing_but_runs(self):
         spec = get_codec_model("DVC", compression_level=2)
         gop = jax.random.uniform(KEY, (T, H, W, 3))
@@ -110,6 +121,8 @@ class TestStagedTraining:
     """VERDICT round-1 item 5: the ELFVC spstage optimizer groups
     (reference optim_parameters models.py:2026-2078) and the Base-ER
     soft2hard three-pass schedule (models.py:318-344)."""
+
+    pytestmark = pytest.mark.slow  # staged train-step compiles dominate
 
     @pytest.mark.parametrize("sp_stage", [0, 1, 2])
     def test_elfvc_stage_only_updates_stage_groups(self, sp_stage):
@@ -295,6 +308,7 @@ class TestFusedDeconvAct:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestSpyNetS2DLevels:
     """spynet_s2d_levels: the finest towers run in the s2d domain with a
     polyphase full-res flow output (layers/spynet.py). Opt-in; 0 keeps the

@@ -162,6 +162,7 @@ class TestTrainingWarpSemantics:
     where shapes are 1080p+ and no gradient exists); (b) the clamp's effect
     under optimization is MEASURED, not assumed, below."""
 
+    @pytest.mark.slow
     def test_make_train_step_traces_exact_warp(self, monkeypatch):
         """Mechanism: every flow_warp dispatched while tracing a train step
         must take the exact path (exact=True), regardless of backend."""

@@ -7,6 +7,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from fastvideocodec_tpu.utils.torch_import import (
@@ -165,6 +166,7 @@ def _synthetic_dvc_state_dict():
 
 
 class TestFullConversion:
+    @pytest.mark.slow
     def test_tree_structure_matches_dvc_init_and_runs(self):
         from fastvideocodec_tpu.models import get_codec_model
 

@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--level", type=int, default=2)
     ap.add_argument("--warp", choices=("exact", "native"), default="exact")
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32",
+                    help="model compute dtype; bf16 matches the bench.py "
+                    "flagship headline (and halves the Pallas out-block, "
+                    "which XLA's memory-space assignment may place in "
+                    "scoped VMEM at B=1)")
     args = ap.parse_args()
     os.environ["FVC_CODER_WARP"] = args.warp
 
@@ -67,7 +72,9 @@ def main():
     from fastvideocodec_tpu.data.synthetic import synth_gop_multi
     from fastvideocodec_tpu.models import get_codec_model
 
-    spec = get_codec_model("LSVC-TPU", compression_level=args.level)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    spec = get_codec_model(
+        "LSVC-TPU", compression_level=args.level, dtype=dtype)
     params = load_hd_params(args.level)
     trained = params is not None
     rng = np.random.default_rng(123)
