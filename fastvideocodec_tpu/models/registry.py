@@ -158,6 +158,13 @@ def get_codec_model(
                 mv_polyphase_out=True,
                 warp_width=64,
                 mc_displacement=28,
+                # '-F': full-resolution MC warp (models/lsvc.py
+                # full_res_warp) — the s2d-domain warp moves 2x2 pixel
+                # blocks rigidly, which costs RD on fine motion; this
+                # restores the reference's full-res warp semantics
+                # (models.py:730-752) while refinement + residual coding
+                # stay in the s2d domain.
+                full_res_warp="-F" in name,
                 use_attn="-A" in name,
                 use_syn_attn="-S" in name,
                 graph=graph,

@@ -72,8 +72,8 @@ def _time(fn, *args, perturb=0):
     return ts[len(ts) // 2] / SCANS
 
 
-def lsvc_gop_sweep(gops):
-    spec = get_codec_model("LSVC-TPU", dtype=jnp.bfloat16)
+def lsvc_gop_sweep(gops, codec="LSVC-TPU"):
+    spec = get_codec_model(codec, dtype=jnp.bfloat16)
     module = spec.module
     key = jax.random.PRNGKey(0)
     small = jax.random.uniform(key, (4, 256, 256, 3), dtype=jnp.bfloat16)
@@ -130,7 +130,10 @@ if __name__ == "__main__":
     p.add_argument("--gops", type=int, nargs="*", default=[2, 4, 8, 16, 30])
     p.add_argument("--ssf", nargs="*", default=["SSF-Official", "ELFVC", "ELFVC-SP"])
     p.add_argument("--skip-ssf", action="store_true")
+    p.add_argument("--codec", default="LSVC-TPU",
+                   help="LSVC config for the GOP sweep (e.g. LSVC-TPU-F "
+                   "to price the full-res MC warp)")
     args = p.parse_args()
-    lsvc_gop_sweep(args.gops)
+    lsvc_gop_sweep(args.gops, codec=args.codec)
     if not args.skip_ssf:
         ssf_encode_sweep(args.ssf)
