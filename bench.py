@@ -24,68 +24,11 @@ import jax.numpy as jnp
 
 
 def build_lsvc_decode(module, GOP: int, H: int, W: int):
-    """Receiver-side decode graph for an LSVC module: mv synthesis + tree
-    MC + per-layer hyper/residual synthesis from quantized latents +
-    depth-to-space. Returns (decode_fn, example_inputs) where decode_fn
-    (params, iframe_s2d, mv_q, z_qs, feat_qs) reduces to two live scalars
-    (recon mean + sigma mean — sigma parameterizes the HOST entropy decode
-    so it needs an explicit consumer to stay in the timed graph).
-    Shared by bench.py and tools/speed_sweep.py."""
-    import jax
-    import jax.numpy as jnp
+    """Shared decode-graph builder (moved to the package so the eval
+    harness can time the same graph): see gop/decode_graph.py."""
+    from fastvideocodec_tpu.gop.decode_graph import build_lsvc_decode as b
 
-    from fastvideocodec_tpu.ops import depth_to_space
-
-    bs = GOP - 1
-    sched = module.schedule(bs)
-    s2d = module.s2d
-
-    def decode(p, iframe_s2d, mv_q, z_qs, feat_qs):
-        mv_hat = module.apply(p, mv_q, method=lambda m, q: m.mv_decoder(q))
-        com = [None] * bs
-        sigma_sum = jnp.zeros((), jnp.float32)
-        for li, layer in enumerate(sched.layers):
-            sigma = module.apply(
-                p, z_qs[li], method=lambda m, z: m.prior_decoder(z)
-            )
-            sigma_sum = sigma_sum + jnp.mean(sigma).astype(jnp.float32)
-            chunk = module.layer_chunk if module.layer_chunk > 0 else len(layer)
-            for ci in range(0, len(layer), chunk):
-                part = layer[ci : ci + chunk]
-                refs = [
-                    iframe_s2d if sched.parents[f] == 0 else com[sched.parents[f] - 1]
-                    for f in part
-                ]
-                ref = jnp.stack(refs)
-                ids = jnp.asarray([f - 1 for f in part])
-                mc, _ = module.apply(
-                    p, ref, mv_hat[ids],
-                    method=lambda m, r, d: m.motioncompensation(r, d),
-                )
-                res_hat = module.apply(
-                    p, feat_qs[li][ci : ci + chunk],
-                    method=lambda m, f: m.res_decoder(f),
-                )
-                com_frames = jnp.clip(res_hat + mc, 0.0, 1.0)
-                for i, f in enumerate(part):
-                    com[f - 1] = com_frames[i]
-        out = jnp.stack(com)
-        if s2d > 1:
-            out = depth_to_space(out, s2d)
-        return jnp.mean(out), sigma_sum
-
-    key = jax.random.PRNGKey(0)
-    lh, lw = H // 16, W // 16  # latent resolution (/16 of full, both configs)
-    mv_q = jax.random.normal(key, (bs, lh, lw, module.channels), jnp.bfloat16)
-    z_qs = [
-        jax.random.normal(key, (len(l), lh // 4, lw // 4, 64), jnp.bfloat16)
-        for l in sched.layers
-    ]
-    feat_qs = [
-        jax.random.normal(key, (len(l), lh, lw, 96), jnp.bfloat16)
-        for l in sched.layers
-    ]
-    return decode, (mv_q, z_qs, feat_qs)
+    return b(module, GOP, H, W, dtype=jnp.bfloat16)
 
 
 def main():
@@ -103,12 +46,36 @@ def main():
     module = spec.module
 
     key = jax.random.PRNGKey(0)
-    small = jax.random.uniform(key, (GOP, 256, 256, 3), dtype=jnp.bfloat16)
-    params = jax.jit(
-        lambda k, g: module.init({"params": k}, g, training=False)
-    )(key, small)
+    # Trained hd checkpoint when shipped (conv weights apply at any
+    # resolution); random init only as a flagged fallback — the headline
+    # must track the real model (VERDICT round-3 item 10).
+    from fastvideocodec_tpu.train.checkpoint import asset_params
 
-    gop = jax.random.uniform(key, (GOP, H, W, 3), dtype=jnp.bfloat16)
+    params = asset_params("hd_lsvctpu_l2")
+    if params is None:
+        print("WARNING: no hd checkpoint found; random-init weights",
+              file=sys.stderr)
+        small = jax.random.uniform(key, (GOP, 256, 256, 3), dtype=jnp.bfloat16)
+        params = jax.jit(
+            lambda k, g: module.init({"params": k}, g, training=False)
+        )(key, small)
+    else:
+        print("bench weights: assets/hd_lsvctpu_l2.npz (trained)",
+              file=sys.stderr)
+
+    # Bench frames: trained-corpus-style multi-object motion clips rather
+    # than uniform noise, so flow magnitudes / latent statistics are
+    # realistic for the trained weights (decode-side latents stay random
+    # — they only set compute shapes).
+    import numpy as np
+
+    from fastvideocodec_tpu.data.synthetic import synth_gop_multi
+
+    nrng = np.random.default_rng(0)
+    gop = jnp.asarray(
+        synth_gop_multi(nrng, size=max(H, W), gop=GOP)[:, :H, :W],
+        dtype=jnp.bfloat16,
+    )
 
     def run(p, g):
         com, metrics = rollout(spec, p, g, training=False, rng=None)

@@ -84,6 +84,16 @@ class LSVC(nn.Module):
     mv_polyphase_out: bool = False  # SynthesisMVNet polyphase output stage
     mc_displacement: int = 0     # >0: bound MC-warp displacement (Pallas
     # halo radius, in MC-warp-domain pixels); 0 = backend default
+    frame_axis: str = ""         # mesh axis name to shard the per-layer
+    # frame batches over (SURVEY §2.7 'sequence parallel' = the LSVC tree
+    # layers; reference analog models.py:1363-1394's DataParallel decoder
+    # wraps). When set, the whole-GOP forward annotates the stage-1 flow/mv
+    # batch and every tree layer's frame batch with
+    # with_sharding_constraint(P(frame_axis)) so GSPMD keeps frames of a
+    # layer on distinct chips (parent gathers become ICI collectives).
+    # Requires tracing inside a Mesh context that defines the axis; '' = no
+    # constraints (single-chip / other-axis runs unchanged). Use
+    # parallel.frame.frame_sharded_spec to derive a sharded spec.
     full_res_warp: bool = False  # s2d>1 only: run the MC warp at FULL
     # resolution (d2s ref -> 3ch warp with x2-upsampled flow -> s2d back).
     # The s2d-domain warp moves whole 2x2 pixel blocks rigidly — odd
@@ -188,6 +198,16 @@ class LSVC(nn.Module):
         T, H, W, _ = x.shape
         bs = T - 1
         sched = self.schedule(bs)
+
+        def frames_sharded(t):
+            """Pin a [frames, ...] batch's leading axis to the mesh frame
+            axis (no-op unless frame_axis is configured)."""
+            if not self.frame_axis:
+                return t
+            from jax.sharding import PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(t, P(self.frame_axis))
+
         rngs = (
             jax.random.split(rng, 1 + sched.depth)
             if rng is not None
@@ -209,9 +229,10 @@ class LSVC(nn.Module):
         # layer-sized batches instead (identical outputs, lower peak HBM).
         target = x[1:]
         if not self.per_layer_mv:
-            ref_raw = x_flow[jnp.asarray(sched.ref_index)]
-            est_mv = self.optic_flow(x_flow[1:], ref_raw)
+            ref_raw = frames_sharded(x_flow[jnp.asarray(sched.ref_index)])
+            est_mv = self.optic_flow(frames_sharded(x_flow[1:]), ref_raw)
             mv_hat, bits_mv = self.mv_codec(est_mv, training, rngs[0])
+            mv_hat = frames_sharded(mv_hat)
         else:
             mv_hat, bits_mv = None, 0.0
 
@@ -229,11 +250,11 @@ class LSVC(nn.Module):
                 for fid in part:
                     parent = sched.parents[fid]
                     refs.append(x[0] if parent == 0 else com[parent - 1])
-                ref = jnp.stack(refs)
+                ref = frames_sharded(jnp.stack(refs))
                 if self.detach_tree or self.graph == "chain":
                     ref = jax.lax.stop_gradient(ref)
                 ids = jnp.asarray([fid - 1 for fid in part])
-                tgt = target[ids]
+                tgt = frames_sharded(target[ids])
                 if self.per_layer_mv:
                     ref_raw = x_flow[
                         jnp.asarray([sched.ref_index[fid - 1] for fid in part])

@@ -133,6 +133,8 @@ def get_codec_model(
                 mv_polyphase_out=tpu,
                 warp_width=32 if tpu else 16,
                 mc_displacement=28 if tpu else 0,
+                # '-F' semantics uniform across scales (no-op when s2d==1)
+                full_res_warp="-F" in name,
                 graph=graph,
                 dtype=dtype,
             )

@@ -70,6 +70,35 @@ def _set_path(tree, path, value):
     node[keys[-1]] = value
 
 
+def load_npz_params(path: str, dtype=np.float32) -> dict:
+    """Load a flattened assets/*.npz checkpoint (tools/train_tiny.py's
+    float16 format: keys are '/'-joined pytree paths) back into a params
+    pytree. Returns None when the file does not exist — callers flag the
+    random-init fallback."""
+    import jax.numpy as jnp
+
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    tree: dict = {}
+    for k in data.files:
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[k].astype(dtype))
+    return tree
+
+
+def asset_params(name: str, dtype=np.float32) -> dict:
+    """load_npz_params for a shipped fastvideocodec_tpu/assets checkpoint
+    (e.g. 'hd_lsvctpu_l2')."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return load_npz_params(
+        os.path.join(here, "assets", f"{name}.npz"), dtype=dtype
+    )
+
+
 def load_whatever(params: dict, source: dict) -> dict:
     """Copy every leaf whose path+shape matches (models.py:438-442)."""
     params = jax.tree.map(lambda x: x, params)  # deep copy structure

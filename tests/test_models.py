@@ -388,3 +388,60 @@ class TestMVPolyphaseOut:
         blk = raw.reshape(1, 3, 5, 2, 2, 2).transpose(0, 1, 3, 2, 4, 5)
         manual = blk.reshape(1, 6, 10, 2)
         np.testing.assert_allclose(np.asarray(y), np.asarray(manual), atol=1e-6)
+
+
+class TestFullResWarp:
+    """'-F' flag: full-resolution MC warp inside the s2d-domain flagship
+    (models/lsvc.py full_res_warp; reference warp semantics
+    models.py:730-752). The round-3 advisor flagged that no test covered
+    the d2s -> warp -> s2d round trip or the registry flag."""
+
+    def test_registry_flag_uniform_across_scales(self):
+        assert get_codec_model("LSVC-TPU-F").module.full_res_warp
+        assert get_codec_model("LSVC-TPU-TINY-F").module.full_res_warp
+        assert not get_codec_model("LSVC-TPU").module.full_res_warp
+        assert not get_codec_model("LSVC-TPU-TINY").module.full_res_warp
+
+    def test_mc_warp_equals_fullres_roundtrip(self):
+        from fastvideocodec_tpu.ops import (
+            bilinear_upsample_x2,
+            depth_to_space,
+            flow_warp,
+            space_to_depth,
+        )
+
+        spec = get_codec_model("LSVC-TPU-TINY-F")
+        m = spec.module
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        params = _init(spec, gop)
+        ref = space_to_depth(gop[:1], 2)  # [1, H/2, W/2, 12]
+        mv = 2.5 * jax.random.normal(
+            jax.random.PRNGKey(7), (1, H // 2, W // 2, 2)
+        )
+
+        def mc(mod, r, d):
+            return mod.motioncompensation(r, d)
+
+        _, warped = jax.jit(partial(m.apply, method=mc))(params, ref, mv)
+        r = m.mc_displacement
+        expect = space_to_depth(
+            flow_warp(
+                depth_to_space(ref, 2),
+                2.0 * bilinear_upsample_x2(mv),
+                max_displacement=2 * r,
+            ),
+            2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(warped), np.asarray(expect), atol=1e-6
+        )
+        # and the plain config moves rigid 2x2 blocks instead (s2d warp)
+        plain = get_codec_model("LSVC-TPU-TINY")
+        pparams = _init(plain, gop)
+        _, warped_s2d = jax.jit(partial(plain.module.apply, method=mc))(
+            pparams, ref, mv
+        )
+        s2d_expect = flow_warp(ref, mv, max_displacement=r)
+        np.testing.assert_allclose(
+            np.asarray(warped_s2d), np.asarray(s2d_expect), atol=1e-6
+        )

@@ -122,6 +122,64 @@ class TestShardedParity:
         )
         _tree_close(p1, p2, atol=3e-4)
 
+    def test_lsvc_frame_axis_sharded_matches_single_device(self):
+        """Frame-axis ('sequence') parallelism (SURVEY §2.7; reference
+        analog models.py:1363-1394): the GOP's frame axis sharded over the
+        mesh 'frame' axis, with the LSVC forward pinning each tree layer's
+        frame batch via with_sharding_constraint — loss/grads/params must
+        equal the unsharded step."""
+        n = len(jax.devices())
+        if n < 2:
+            pytest.skip("needs 2 virtual devices")
+        from fastvideocodec_tpu.parallel.frame import (
+            frame_sharded_spec,
+            gop_frame_sharding,
+        )
+
+        devices = jax.devices()[:2]
+        mesh = Mesh(np.asarray(devices).reshape(2), axis_names=("frame",))
+
+        T, H, W = 4, 64, 64  # input frame axis divisible by the mesh;
+        # inner per-layer batches (1/2 frames) are GSPMD-padded
+        spec = get_codec_model("LSVC-TPU-TINY")
+        gop = jax.random.uniform(KEY, (T, H, W, 3))
+        params = jax.jit(partial(spec.module.init, training=False))(
+            {"params": KEY}, gop
+        )
+        cfg = TrainConfig(learning_rate=1e-4)
+        init_fn, step_fn = make_train_step(spec, cfg)
+        opt_state = init_fn(params)
+        p1, o1, m1 = jax.jit(step_fn)(params, opt_state, gop, KEY)
+
+        fspec = frame_sharded_spec(spec)
+        assert fspec.module.frame_axis == "frame"
+        finit, fstep = make_train_step(fspec, cfg)
+        repl = NamedSharding(mesh, P())
+        gshard = gop_frame_sharding(mesh)
+        jstep = jax.jit(
+            fstep,
+            in_shardings=(repl, repl, gshard, repl),
+            out_shardings=(repl, repl, repl),
+        )
+        with mesh:
+            p2, o2, m2 = jstep(
+                jax.device_put(params, repl),
+                jax.device_put(opt_state, repl),
+                jax.device_put(gop, gshard),
+                KEY,
+            )
+        assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+        assert np.allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), atol=1e-4
+        )
+        _tree_close(p1, p2, atol=3e-4)
+
+    def test_frame_sharded_spec_rejects_non_lsvc(self):
+        from fastvideocodec_tpu.parallel.frame import frame_sharded_spec
+
+        with pytest.raises(ValueError):
+            frame_sharded_spec(get_codec_model("DVC-TINY"))
+
 
 class TestGlobalMesh:
     """parallel/distributed.py: the hybrid ICI/DCN mesh builder (single

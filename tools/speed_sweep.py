@@ -74,6 +74,12 @@ def _time(fn, *args, perturb=0):
 
 def lsvc_gop_sweep(gops, codec="LSVC-TPU"):
     spec = get_codec_model(codec, dtype=jnp.bfloat16)
+    if spec.family != "lsvc":
+        raise SystemExit(
+            f"--codec {codec!r} resolves to family '{spec.family}'; the GOP "
+            "sweep drives the LSVC tree schedule and decode graph — pass an "
+            "LSVC config (e.g. LSVC-TPU, LSVC-128, LSVC-TPU-F)"
+        )
     module = spec.module
     key = jax.random.PRNGKey(0)
     small = jax.random.uniform(key, (4, 256, 256, 3), dtype=jnp.bfloat16)

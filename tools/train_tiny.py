@@ -75,6 +75,12 @@ FAMILIES = {
         "LSVC-128", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     "lsvctpu_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # '-F' = full-resolution MC warp (models/lsvc.py full_res_warp): the
+    # round-3 head-to-head priced the s2d-domain warp at +26.1% BD-rate
+    # vs LSVC-128; this rung isolates the warp-domain term of that gap
+    # (VERDICT round-3 item 1) with the identical recipe/corpus.
+    "lsvctpuf_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU-F", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # the reference operating point, one rung closer: 256x256 GOP 16
     # (VERDICT round-2 item 9 — eval runs at 2048x1024 GOP 16,
     # eval.py:495-496; this is the largest rung this environment's
