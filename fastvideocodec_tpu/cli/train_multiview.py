@@ -28,7 +28,7 @@ from fastvideocodec_tpu.train import (
     make_train_step,
     save_checkpoint,
 )
-from fastvideocodec_tpu.train.olft import touchup_bits, touchup_labels
+from fastvideocodec_tpu.train.olft import touchup_bits
 from fastvideocodec_tpu.utils import AverageMeter
 from fastvideocodec_tpu.utils.logs import write_eval_log
 
@@ -278,7 +278,12 @@ def main(argv=None):
         f"{args.loss_type}-{train_ds.category}"
     )
     cfg = TrainConfig(learning_rate=args.lr)
-    init_fn, step_fn = make_train_step(spec, cfg)
+    if olft:
+        from fastvideocodec_tpu.train.olft import make_olft_step
+
+        init_fn, step_fn = make_olft_step(spec, cfg, args.sample_ratio)
+    else:
+        init_fn, step_fn = make_train_step(spec, cfg)
     opt_state = init_fn(params)
     if args.resume:
         try:
@@ -316,20 +321,23 @@ def main(argv=None):
         )
         key, sk = jax.random.split(key)
         if olft:
-            # online labels: recon + top-r% raw touch-up pixels
-            recons, _ = jroll(params, gop, mask=mask)
-            labels, masks = jax.jit(partial(touchup_labels, ratio=args.sample_ratio))(
-                recons, gop
-            )
+            # Reference OLFT semantics (models.py:2318-2321;
+            # train_multiview.py:171-205): the step consumes RAW frames,
+            # builds the touch-up labels inside from the detached x_ref
+            # chain, and supervises the recon against them with loss =
+            # r*mse (no estimated-bpp term).
+            params, opt_state, metrics = jstep(params, opt_state, gop, sk, mask)
+            refs = metrics.pop("touch_refs")
+            labels = metrics.pop("touch_labels")
+            masks = metrics.pop("touch_mask")
             bits = touchup_bits(
-                np.asarray(recons), np.asarray(labels), np.asarray(masks)
+                np.asarray(refs), np.asarray(labels), np.asarray(masks)
             )
             # bandwidth accounting: touchup_bits returns zlib BYTES; bpp =
             # bytes*8 / pixels, pixels = GOP*V*S*S (gop.size counts the
             # channel axis, hence // 3) — models.py:2218-2233
             pixels = gop.size // 3
             touch_m.update(bits * 8 / pixels)
-            params, opt_state, metrics = jstep(params, opt_state, labels, sk, mask)
         else:
             params, opt_state, metrics = jstep(params, opt_state, gop, sk, mask)
         psnr_m.update(float(metrics["psnr"]))

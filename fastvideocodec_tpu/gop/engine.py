@@ -181,12 +181,24 @@ def mcvc_gop(spec: CodecSpec, params, gop, mask, training: bool, rng=None):
     if mask is None:
         mask = jnp.ones((gop.shape[1],), gop.dtype)
     alive = mask.astype(recons.dtype)
-    per_view = jnp.mean((recons - gop) ** 2, axis=(2, 3, 4))  # [T, B*V]
-    mse = jnp.sum(per_view * alive[None, :], axis=1) / jnp.maximum(
-        jnp.sum(alive), 1.0
-    )
+
+    def alive_mse(x_hat):
+        per_view = jnp.mean((x_hat - gop) ** 2, axis=(2, 3, 4))  # [T, B*V]
+        return jnp.sum(per_view * alive[None, :], axis=1) / jnp.maximum(
+            jnp.sum(alive), 1.0
+        )
+
+    mse = alive_mse(recons)
+    img_loss = mse
+    if training:
+        # reference metrics_per_gop:199-205 "supervise the ref frame":
+        # the plain-decoder x_ref chain (the P-frames' actual reference)
+        # trains alongside the enhanced recon — mseloss = (enh + ref) / 2.
+        # PSNR stays the enhanced-recon quality (computed before the ref
+        # term in the reference).
+        img_loss = 0.5 * (mse + alive_mse(refs))
     metrics = {
-        "img_loss": mse,
+        "img_loss": img_loss,
         "psnr": _psnr_from_mse(mse),
         "bpp_est": jnp.stack(bpps),
         "completeness": jnp.sum(alive) / alive.shape[0],

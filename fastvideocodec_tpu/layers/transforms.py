@@ -216,6 +216,11 @@ class SynthesisMVNet(nn.Module):
     use_attn: bool = False
     attn_depth: int = 12
     polyphase_out: bool = False
+    polyphase_factor: int = 2  # output upsampling folded into the final
+    # conv when polyphase_out: 2 = replace the last deconv; 4 = ALSO lift
+    # the output one level above the trunk's native resolution (the
+    # '-F2' full-res-flow decoder: an s2d-domain stages=3 trunk emits a
+    # full-resolution field without any full-res conv)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -230,11 +235,12 @@ class SynthesisMVNet(nn.Module):
                     x = _deconv(c, 3, 2, self.dtype, act=leaky01)(x)
                 else:
                     x = leaky01(_conv(c, 3, 1, self.dtype)(x))
-            y = _conv(4 * self.out_channels, 3, 1, self.dtype)(x)
+            f = self.polyphase_factor
+            y = _conv(f * f * self.out_channels, 3, 1, self.dtype)(x)
             B, H, W = y.shape[:3]
-            y = y.reshape(B, H, W, 2, 2, self.out_channels)
+            y = y.reshape(B, H, W, f, f, self.out_channels)
             return y.transpose(0, 1, 3, 2, 4, 5).reshape(
-                B, H * 2, W * 2, self.out_channels
+                B, H * f, W * f, self.out_channels
             )
         for up in ups:
             if up:

@@ -101,6 +101,12 @@ class LSVC(nn.Module):
     # content with fine motion; this restores the reference's exact warp
     # semantics (models.py:730-752) while the refinement + residual
     # pipeline stays in the cheap s2d domain.
+    mv_full_res_out: bool = False  # '-F2' (implies full_res_warp, s2d>1):
+    # the mv decoder emits the FULL-resolution flow field itself
+    # (polyphase_factor=4 from the s2d trunk) instead of bilinearly
+    # upsampling the half-res flow — odd per-pixel displacements become
+    # decoder-expressible at negligible cost (the final conv widens from
+    # 8 to 32 output channels at quarter resolution).
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -120,7 +126,9 @@ class LSVC(nn.Module):
         )
         self.mv_decoder = SynthesisMVNet(
             use_attn=self.use_syn_attn, conv_channels=self.channels,
-            stages=stages, attn_depth=d, polyphase_out=self.mv_polyphase_out,
+            stages=stages, attn_depth=d,
+            polyphase_out=self.mv_polyphase_out or self.mv_full_res_out,
+            polyphase_factor=4 if self.mv_full_res_out else 2,
             dtype=dt,
         )
         self.res_encoder = AnalysisNet(
@@ -158,7 +166,10 @@ class LSVC(nn.Module):
         r = self.mc_displacement if self.mc_displacement > 0 else None
         if self.full_res_warp and self.s2d > 1:
             ref_full = depth_to_space(ref, self.s2d)
-            mv_full = 2.0 * bilinear_upsample_x2(mv)
+            if self.mv_full_res_out:  # decoder already emits full-res flow
+                mv_full = 2.0 * mv
+            else:
+                mv_full = 2.0 * bilinear_upsample_x2(mv)
             warped_full = flow_warp(
                 ref_full, mv_full,
                 max_displacement=None if r is None else 2 * r,

@@ -133,8 +133,10 @@ def get_codec_model(
                 mv_polyphase_out=tpu,
                 warp_width=32 if tpu else 16,
                 mc_displacement=28 if tpu else 0,
-                # '-F' semantics uniform across scales (no-op when s2d==1)
+                # '-F'/'-F2' semantics uniform across scales (no-op when
+                # s2d==1)
                 full_res_warp="-F" in name,
+                mv_full_res_out="-F2" in name,
                 graph=graph,
                 dtype=dtype,
             )
@@ -167,6 +169,10 @@ def get_codec_model(
                 # (models.py:730-752) while refinement + residual coding
                 # stay in the s2d domain.
                 full_res_warp="-F" in name,
+                # '-F2': the mv decoder emits the full-res flow itself
+                # (polyphase_factor=4) — odd per-pixel displacements
+                # become decoder-expressible; implies '-F'.
+                mv_full_res_out="-F2" in name,
                 use_attn="-A" in name,
                 use_syn_attn="-S" in name,
                 graph=graph,

@@ -28,6 +28,93 @@ def touchup_labels(recon: jax.Array, raw: jax.Array, ratio: float):
     return label, mask
 
 
+def make_olft_step(spec, cfg, ratio: float, optimizer=None):
+    """Reference-faithful OLFT training step (models.py:2297-2352 +
+    train_multiview.py:171-205):
+
+    - the model consumes RAW frames (not pre-touched labels);
+    - per frame, the touch-up label is built INSIDE the step from the
+      detached x_ref chain: ``x_touch = replace_elements(x_ref, raw, r)``
+      (models.py:2318-2321, 2338-2341) — the camera ships the top-r%%
+      worst pixels as online labels;
+    - distortion supervises the (enhanced) reconstruction against
+      x_touch over the alive views; the gradient is exactly the
+      touch-up-pixel signal (label == stop_grad(recon) elsewhere);
+    - loss = r * mse with NO estimated-bpp term (reference
+      train_multiview.py:242-244: ``loss = model.r*mse`` for OLFT; the
+      touch-up bandwidth is accounted on the host via zlib instead).
+
+    Returns (init_fn, step_fn) where step_fn(params, opt_state, gop, rng,
+    mask) -> (params, opt_state, metrics). metrics carries the device
+    tensors the host-side zlib accounting needs under 'touch_refs' /
+    'touch_labels' / 'touch_mask' (pop them before logging scalars).
+    """
+    from functools import partial
+
+    import optax
+
+    from fastvideocodec_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(cfg) if optimizer is None else optimizer
+    r = spec.r
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def loss_fn(params, gop, rng, mask):
+        recons, liks, refs = spec.module.apply(
+            params, gop, mask, training=True, rng=rng
+        )
+        # per-frame touch-up labels from the DETACHED x_ref chain
+        label, tmask = jax.vmap(partial(touchup_labels, ratio=ratio))(
+            jax.lax.stop_gradient(refs), gop
+        )
+        alive = (
+            mask if mask is not None else jnp.ones((gop.shape[1],))
+        ).astype(recons.dtype)
+        per_view = jnp.mean((recons - label) ** 2, axis=(2, 3, 4))  # [T, B*V]
+        mse = jnp.sum(per_view * alive[None, :], axis=1) / jnp.maximum(
+            jnp.sum(alive), 1.0
+        )
+        loss = jnp.sum(r * mse)
+        # true-quality metrics stay vs RAW frames
+        raw_mse = jnp.sum(
+            jnp.mean((recons - gop) ** 2, axis=(2, 3, 4)) * alive[None, :],
+            axis=1,
+        ) / jnp.maximum(jnp.sum(alive), 1.0)
+        denom = gop.shape[1] * gop.shape[2] * gop.shape[3]
+        from fastvideocodec_tpu.ops import bits_estimate
+
+        bits = sum(
+            bits_estimate(lik_d["y"]) + bits_estimate(lik_d["z"])
+            for d in liks
+            for lik_d in d.values()
+        )
+        metrics = {
+            "loss": loss,
+            "psnr": jnp.mean(
+                -10.0 * jnp.log10(jnp.maximum(raw_mse, 1e-12))
+            ),
+            "bpp": bits / (gop.shape[0] * denom),
+            "img_loss": jnp.mean(mse),
+            "touch_refs": refs,
+            "touch_labels": label,
+            "touch_mask": tmask,
+        }
+        return loss, metrics
+
+    def step_fn(params, opt_state, gop, rng, mask=None):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, gop, rng, mask), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
 def touchup_bits(recon: np.ndarray, label: np.ndarray, mask: np.ndarray,
                  use_compression: bool = True) -> int:
     """Host-side bandwidth cost in bytes (models.py:2218-2233): zlib of the

@@ -81,6 +81,10 @@ FAMILIES = {
     # (VERDICT round-3 item 1) with the identical recipe/corpus.
     "lsvctpuf_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU-F", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # '-F2' = '-F' + decoder-native full-res flow (polyphase_factor=4):
+    # prices the bilinear-upsampled half-res flow term of the RD gap.
+    "lsvctpuf2_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU-F2", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # the reference operating point, one rung closer: 256x256 GOP 16
     # (VERDICT round-2 item 9 — eval runs at 2048x1024 GOP 16,
     # eval.py:495-496; this is the largest rung this environment's
@@ -185,7 +189,7 @@ def train_mcvc(spec, steps: int, seed: int = 0):
     opt_state = tx.init(params)
 
     def loss_fn(p, gop, mask, rng_):
-        recons, liks, _ = spec.module.apply(
+        recons, liks, refs = spec.module.apply(
             p, gop, mask, training=True, rng=rng_)
         denom = gop.shape[1] * gop.shape[2] * gop.shape[3]
         bpp = sum(
@@ -193,8 +197,12 @@ def train_mcvc(spec, steps: int, seed: int = 0):
             for d in liks for lik in d.values()
         ) / denom
         mse = jnp.mean((recons - gop) ** 2)  # ALL views, dead ones included
+        # reference metrics_per_gop:199-205: the plain-decoder x_ref chain
+        # (the P-frames' reference AND the OLFT touch-up label source)
+        # trains alongside the enhanced recon — (enh + ref) / 2
+        mse_ref = jnp.mean((refs - gop) ** 2)
         aux = spec.module.apply(p, method="aux_loss")
-        loss = r * mse * gop.shape[0] + bpp + aux
+        loss = r * 0.5 * (mse + mse_ref) * gop.shape[0] + bpp + aux
         return loss, {"loss": loss, "mse": mse, "bpp": bpp}
 
     def jstep(p, st, gop, mask, rng_):
