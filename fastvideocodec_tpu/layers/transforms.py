@@ -297,15 +297,31 @@ class SynthesisPriorNet(nn.Module):
 
 
 class SSFEncoder(nn.Module):
-    """4x (5x5 s2 conv + ReLU except last) (models.py:1877-1889)."""
+    """4x (5x5 s2 conv + ReLU except last) (models.py:1877-1889).
+
+    ``s2d=2`` (TPU-native, no reference counterpart): the input folds into
+    the space-to-depth domain first ([H/2, W/2, 4C] — 4x the input
+    channels for the MXU's contraction) and one stride-2 stage drops, so
+    the latent stays at /16 of full resolution while the two most
+    expensive conv levels (full- and half-resolution, where 128-wide
+    tensors are HBM-bound) never exist. Same playbook that took LSVC-TPU
+    from 5.6 to 85 fps (models/lsvc.py docstring)."""
 
     mid_planes: int = 128
     out_planes: int = 192
+    s2d: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from fastvideocodec_tpu.ops.warp import space_to_depth
+
         m = self.mid_planes
+        if self.s2d > 1:
+            x = space_to_depth(x, self.s2d)
+            x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+            x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+            return _conv(self.out_planes, 5, 2, self.dtype)(x)
         x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
         x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
         x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
@@ -313,15 +329,31 @@ class SSFEncoder(nn.Module):
 
 
 class SSFDecoder(nn.Module):
-    """4x (5x5 s2 deconv + ReLU except last) (models.py:1890-1902)."""
+    """4x (5x5 s2 deconv + ReLU except last) (models.py:1890-1902).
+
+    ``s2d=2`` (TPU-native): two deconv stages lift the /16 latent to /4 of
+    full resolution; the final conv is polyphase with factor 4 — it emits
+    ``16*out_planes`` channels that depth-to-space straight to FULL
+    resolution. The 128-wide trunk never runs above /4 res, and the
+    output keeps full-resolution expressiveness (d2s is a permutation of
+    the conv's output channels — the PolyphaseDeconv construction)."""
 
     mid_planes: int = 128
     out_planes: int = 3
+    s2d: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from fastvideocodec_tpu.ops.warp import depth_to_space
+
         m = self.mid_planes
+        if self.s2d > 1:
+            x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
+            x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
+            f = 2 * self.s2d
+            y = _conv(f * f * self.out_planes, 5, 1, self.dtype)(x)
+            return depth_to_space(y, f)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
@@ -375,15 +407,34 @@ class SSFHyperDecoderQReLU(nn.Module):
 
 class FlowPredictor(nn.Module):
     """4x (5x5 s1 conv + ReLU except last) predicting motion_info from
-    (x_ref, x_ref_ref, motion_prior) (models.py:1903-1915, 2001)."""
+    (x_ref, x_ref_ref, motion_prior) (models.py:1903-1915, 2001).
+
+    ``s2d=2`` (TPU-native): the reference runs this 128-wide stride-1
+    stack at FULL resolution — at 1080p that is ~0.5 GB of activations
+    per conv pass, the single hottest op in the Vesper encode path. The
+    s2d variant folds the 9-channel input into 36 channels at half
+    resolution (4x fewer MACs AND 4x less HBM traffic per mid conv) and
+    emits the full-resolution motion field through a polyphase output
+    conv (d2s of 4*out channels — full-res expressiveness preserved)."""
 
     mid_planes: int = 128
     out_planes: int = 3
+    s2d: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from fastvideocodec_tpu.ops.warp import depth_to_space, space_to_depth
+
         m = self.mid_planes
+        if self.s2d > 1:
+            x = space_to_depth(x, self.s2d)
+            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+            f = self.s2d
+            y = _conv(f * f * self.out_planes, 5, 1, self.dtype)(x)
+            return depth_to_space(y, f)
         x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
         x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
         x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))

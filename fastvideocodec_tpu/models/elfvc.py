@@ -44,19 +44,22 @@ class ELFVC(nn.Module):
     planes: int = 192
     mid_planes: int = 128
     sp_dim: int = 64
+    s2d: int = 1  # 2: TPU-native s2d transforms + s2d FlowPredictor
+    # ('ELFVC-TPU'/'ELFVC-SP-TPU'); scale-space warp stays full-res
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
         mp, pl = self.mid_planes, self.planes
-        self.img_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.img_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        sd = self.s2d
+        self.img_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
         self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
-        self.flow_predictor = FlowPredictor(mid_planes=mp, dtype=dt)
-        self.motion_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.motion_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
-        self.res_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.res_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.flow_predictor = FlowPredictor(mid_planes=mp, s2d=sd, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
         self.motion_hyperprior = SSFHyperprior(
             planes=pl, mid_planes=pl, super_prec=self.super_prec,
             sp=self.sp_stage >= 1, sp_dim=self.sp_dim, dtype=dt,

@@ -212,13 +212,19 @@ def get_codec_model(
                 use_ec="-EC" in name, use_er="-ER" in name, dtype=dtype
             )
         family = "base"
-    elif name == "SSF-TINY":
+    elif name.startswith("SSF") and "-TINY" in name:
         # miniature SSF for golden-RD tests / fast experiments (this
-        # framework's own; ships trained weights in assets/)
-        module = ScaleSpaceFlow(mid_planes=32, planes=48, dtype=dtype)
+        # framework's own; ships trained weights in assets/).
+        # 'SSF-TPU-TINY': the s2d-transform variant at miniature scale
+        # (the Vesper-speed head-to-head rung).
+        module = ScaleSpaceFlow(mid_planes=32, planes=48,
+                                s2d=2 if "-TPU" in name else 1, dtype=dtype)
         family = "ssf"
-    elif name == "SSF-Official":
-        module = ScaleSpaceFlow(dtype=dtype)
+    elif name in ("SSF-Official", "SSF-TPU"):
+        # 'SSF-TPU' (this framework's own variant, no reference
+        # counterpart): s2d codec transforms + polyphase decoders; the
+        # scale-space volume warp stays at full resolution.
+        module = ScaleSpaceFlow(s2d=2 if name == "SSF-TPU" else 1, dtype=dtype)
         family = "ssf"
     elif name.startswith("ELFVC"):
         if "-TINY" in name:
@@ -230,10 +236,12 @@ def get_codec_model(
                 planes=48,
                 mid_planes=32,
                 sp_dim=16,
+                s2d=2 if "-TPU" in name else 1,
                 dtype=dtype,
             )
         else:
-            module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage, dtype=dtype)
+            module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage,
+                           s2d=2 if "-TPU" in name else 1, dtype=dtype)
         family = "elfvc"
     elif name == "MCVC-Original":
         module = ScaleSpaceFlow(dtype=dtype)

@@ -36,19 +36,25 @@ class ScaleSpaceFlow(nn.Module):
     # configs ("SSF-TINY") reuse the same graph for fast RD regressions
     mid_planes: int = 128
     planes: int = 192
+    s2d: int = 1  # 2: TPU-native s2d transforms ('SSF-TPU'): encoders fold
+    # the input into the space-to-depth domain, decoders emit full res via
+    # factor-4 polyphase output convs; the scale-space volume warp (the
+    # RD-critical op) stays at FULL resolution — the '-F' lesson from the
+    # LSVC flagship (assets/TINY_RD.md round-4 head-to-head).
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
         mp, pl = self.mid_planes, self.planes
-        self.img_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.img_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        sd = self.s2d
+        self.img_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
         self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
-        self.motion_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.motion_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
         self.motion_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
-        self.res_encoder = SSFEncoder(mp, pl, dtype=dt)
-        self.res_decoder = SSFDecoder(mp, out_planes=3, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
         self.res_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
 
     def __call__(self, frames, training: bool = False, rng=None):

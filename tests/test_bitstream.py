@@ -126,11 +126,15 @@ class TestLsvcTpuRealBitstream:
 
 @pytest.mark.slow
 class TestSsfRealBitstream:
-    def test_encode_decode_identity(self):
+    # 'SSF-TPU': s2d transforms + polyphase decoders (round-4 Vesper speed
+    # item); the real-bits path must reproduce encode exactly for the TPU
+    # variant too.
+    @pytest.mark.parametrize("name", ["SSF-Official", "SSF-TPU-TINY"])
+    def test_encode_decode_identity(self, name):
         from fastvideocodec_tpu.coder.video import ssf_compress_gop, ssf_decompress_gop
         from fastvideocodec_tpu.models import get_codec_model
 
-        spec = get_codec_model("SSF-Official")
+        spec = get_codec_model(name)
         gop = jax.random.uniform(KEY, (3, 1, 128, 128, 3))
         params = jax.jit(partial(spec.module.init, training=False))(
             {"params": KEY}, gop[:2]
@@ -198,7 +202,10 @@ class TestRlvcRealBitstream:
 
 @pytest.mark.slow
 class TestElfvcRealBitstream:
-    @pytest.mark.parametrize("name,sp_stage", [("ELFVC", 1), ("ELFVC-SP", 2)])
+    @pytest.mark.parametrize(
+        "name,sp_stage",
+        [("ELFVC", 1), ("ELFVC-SP", 2), ("ELFVC-SP-TPU-TINY", 2)],
+    )
     def test_encode_decode_identity(self, name, sp_stage):
         """Delta-motion chain (reference models.py:2087-2097): the decoder
         reconstructs from (bitstreams, decoded context) only; with -SP both
