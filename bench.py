@@ -51,7 +51,7 @@ def main():
     # must track the real model (VERDICT round-3 item 10).
     from fastvideocodec_tpu.train.checkpoint import asset_params
 
-    params = asset_params("hd_lsvctpu_l2")
+    params = asset_params("hd_lsvctpuf2_l2")
     if params is None:
         print("WARNING: no hd checkpoint found; random-init weights",
               file=sys.stderr)
@@ -60,7 +60,7 @@ def main():
             lambda k, g: module.init({"params": k}, g, training=False)
         )(key, small)
     else:
-        print("bench weights: assets/hd_lsvctpu_l2.npz (trained)",
+        print("bench weights: assets/hd_lsvctpuf2_l2.npz (trained)",
               file=sys.stderr)
 
     # Bench frames: trained-corpus-style multi-object motion clips rather

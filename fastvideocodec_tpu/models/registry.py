@@ -123,6 +123,8 @@ def get_codec_model(
             # architecture (s2d codec domain, s2d WarpNet, polyphase mv
             # output) at golden-RD scale.
             tpu = "-TPU" in name
+            rigid = "-RW" in name      # round-3 rigid s2d-warp ablation
+            halfres = "-HF" in name    # upsampled half-res-flow ablation
             module = LSVC(
                 channels=48,
                 conv_channels=32,
@@ -133,25 +135,34 @@ def get_codec_model(
                 mv_polyphase_out=tpu,
                 warp_width=32 if tpu else 16,
                 mc_displacement=28 if tpu else 0,
-                # '-F'/'-F2' semantics uniform across scales (no-op when
-                # s2d==1)
-                full_res_warp="-F" in name,
-                mv_full_res_out="-F2" in name,
+                # flagship default = full-res warp + decoder-native
+                # full-res flow (the round-4 RD winner); '-RW'/'-HF'
+                # select the ablation rungs (semantics uniform across
+                # scales; all no-ops when s2d==1)
+                full_res_warp=tpu and not rigid,
+                mv_full_res_out=tpu and not (rigid or halfres),
                 graph=graph,
                 dtype=dtype,
             )
         elif "-TPU" in name:
-            # TPU-native config (this framework's own variant, no reference
-            # counterpart): space-to-depth domain, pooled-RGB SpyNet with
-            # 5x5 kernels, 128-wide transforms, bounded MC displacement
-            # (28 s2d px = 56 full-res px, the Pallas halo radius).
-            # MC refinement is the reference-shape U-net run in the s2d
-            # domain (half resolution, so ~1/4 the cost of the reference's
-            # full-res Warp_net): the round-3 hd-rung ablation measured the
-            # strided-trunk WarpNetTPU at +0.0 dB over the raw warp on
-            # motion-boundary content while the U-net tracks LSVC-128's
-            # refinement gain — RD comes first; set warp_tpu=True to trade
-            # ~0.3 dB for the cheaper refinement.
+            # TPU-native flagship (this framework's own variant, no
+            # reference counterpart): space-to-depth codec domain,
+            # pooled-RGB SpyNet with 5x5 kernels, 128-wide transforms,
+            # bounded MC displacement (56 full-res px, the Pallas halo
+            # radius), s2d-domain U-net MC refinement.
+            #
+            # Default warp semantics (round-4 RD winner, +6.1% BD-rate vs
+            # LSVC-128 at the 128px rung — assets/TINY_RD.md): the MC warp
+            # runs at FULL resolution with a flow field the mv decoder
+            # emits natively at full res (polyphase_factor=4). Ablation
+            # opt-outs price each term of the round-3 gap:
+            #   '-HF' — flow bilinearly upsampled from half res (+10.8%)
+            #   '-RW' — rigid s2d-domain 2x2-block warp, the round-3
+            #           default (+26.1%, the fastest decode)
+            # '-F'/'-F2' are accepted as aliases of the default (the
+            # round-4 ablation names the trained hd assets).
+            rigid = "-RW" in name
+            halfres = "-HF" in name
             module = LSVC(
                 channels=128,
                 conv_channels=128,
@@ -162,17 +173,8 @@ def get_codec_model(
                 mv_polyphase_out=True,
                 warp_width=64,
                 mc_displacement=28,
-                # '-F': full-resolution MC warp (models/lsvc.py
-                # full_res_warp) — the s2d-domain warp moves 2x2 pixel
-                # blocks rigidly, which costs RD on fine motion; this
-                # restores the reference's full-res warp semantics
-                # (models.py:730-752) while refinement + residual coding
-                # stay in the s2d domain.
-                full_res_warp="-F" in name,
-                # '-F2': the mv decoder emits the full-res flow itself
-                # (polyphase_factor=4) — odd per-pixel displacements
-                # become decoder-expressible; implies '-F'.
-                mv_full_res_out="-F2" in name,
+                full_res_warp=not rigid,
+                mv_full_res_out=not (rigid or halfres),
                 use_attn="-A" in name,
                 use_syn_attn="-S" in name,
                 graph=graph,

@@ -397,10 +397,19 @@ class TestFullResWarp:
     the d2s -> warp -> s2d round trip or the registry flag."""
 
     def test_registry_flag_uniform_across_scales(self):
-        assert get_codec_model("LSVC-TPU-F").module.full_res_warp
-        assert get_codec_model("LSVC-TPU-TINY-F").module.full_res_warp
-        assert not get_codec_model("LSVC-TPU").module.full_res_warp
-        assert not get_codec_model("LSVC-TPU-TINY").module.full_res_warp
+        # round-4 default: full-res warp + decoder-native full-res flow
+        # ('-F'/'-F2' are aliases of the default; '-RW' = rigid s2d warp,
+        # '-HF' = bilinearly-upsampled half-res flow)
+        for nm in ("LSVC-TPU", "LSVC-TPU-TINY", "LSVC-TPU-F2",
+                   "LSVC-TPU-TINY-F2"):
+            m = get_codec_model(nm).module
+            assert m.full_res_warp and m.mv_full_res_out, nm
+        for nm in ("LSVC-TPU-HF", "LSVC-TPU-TINY-HF"):
+            m = get_codec_model(nm).module
+            assert m.full_res_warp and not m.mv_full_res_out, nm
+        for nm in ("LSVC-TPU-RW", "LSVC-TPU-TINY-RW"):
+            m = get_codec_model(nm).module
+            assert not m.full_res_warp and not m.mv_full_res_out, nm
 
     def test_mc_warp_equals_fullres_roundtrip(self):
         from fastvideocodec_tpu.ops import (
@@ -410,7 +419,7 @@ class TestFullResWarp:
             space_to_depth,
         )
 
-        spec = get_codec_model("LSVC-TPU-TINY-F")
+        spec = get_codec_model("LSVC-TPU-TINY-HF")
         m = spec.module
         gop = jax.random.uniform(KEY, (T, H, W, 3))
         params = _init(spec, gop)
@@ -435,8 +444,8 @@ class TestFullResWarp:
         np.testing.assert_allclose(
             np.asarray(warped), np.asarray(expect), atol=1e-6
         )
-        # and the plain config moves rigid 2x2 blocks instead (s2d warp)
-        plain = get_codec_model("LSVC-TPU-TINY")
+        # and the '-RW' ablation moves rigid 2x2 blocks instead (s2d warp)
+        plain = get_codec_model("LSVC-TPU-TINY-RW")
         pparams = _init(plain, gop)
         _, warped_s2d = jax.jit(partial(plain.module.apply, method=mc))(
             pparams, ref, mv

@@ -640,7 +640,9 @@ class TestHDHeadToHead:
 
         clips = self._clips()
         bpp_ref, psnr_ref = self._curve("LSVC-128", "lsvc128", clips)
-        bpp_tpu, psnr_tpu = self._curve("LSVC-TPU", "lsvctpu", clips)
+        # round-4 default = full-res warp + decoder-native full-res flow
+        # ('-F2' semantics); its hd assets carry the ablation-era name
+        bpp_tpu, psnr_tpu = self._curve("LSVC-TPU", "lsvctpuf2", clips)
 
         # both curves monotone in rate and quality (real bitstreams)
         assert bpp_ref[0] < bpp_ref[1] < bpp_ref[2], bpp_ref
@@ -652,11 +654,28 @@ class TestHDHeadToHead:
         bdp = bd_psnr(bpp_ref, psnr_ref, bpp_tpu, psnr_tpu)
         print(f"HD head-to-head BD-rate(TPU vs 128): {bdr:+.1f}%  "
               f"BD-PSNR: {bdp:+.3f} dB")
-        # Bounds pinned from the measured on-chip head-to-head (see
-        # assets/TINY_RD.md): 3000 const-LR steps per level gave
-        # BD-rate +26.1% / BD-PSNR -1.30 dB (TPU vs 128) at this rung —
-        # the s2d-domain flagship must stay within this envelope of the
-        # reference-structure config and must not collapse the quality
-        # range.
-        assert bdr < 32.0, (bdr, bpp_ref, psnr_ref, bpp_tpu, psnr_tpu)
-        assert bdp > -1.6, (bdp,)
+        # Bounds pinned from the measured on-chip round-4 head-to-head
+        # (assets/TINY_RD.md): the full-res-flow default measured
+        # BD-rate +6.1% / BD-PSNR -0.30 dB vs LSVC-128 at this rung (the
+        # round-3 rigid-warp config was +26.1%/-1.30). The flagship must
+        # hold the <=+10% VERDICT target.
+        assert bdr < 10.0, (bdr, bpp_ref, psnr_ref, bpp_tpu, psnr_tpu)
+        assert bdp > -0.6, (bdp,)
+
+    def test_warp_ablation_attribution(self):
+        """The round-4 ablation chain, pinned: rigid s2d warp ('-RW',
+        round-3 default) > upsampled half-res flow ('-HF') > decoder-
+        native full-res flow (default) in BD-rate vs LSVC-128 — the RD
+        cost of each s2d shortcut is attributed, not guessed (measured
+        on-chip: +26.1% / +10.8% / +6.1%)."""
+        from fastvideocodec_tpu.analysis.bdrate import bd_rate
+
+        clips = self._clips()
+        ref = self._curve("LSVC-128", "lsvc128", clips)
+        rigid = bd_rate(*ref, *self._curve("LSVC-TPU-RW", "lsvctpu", clips))
+        halfres = bd_rate(*ref, *self._curve("LSVC-TPU-HF", "lsvctpuf", clips))
+        full = bd_rate(*ref, *self._curve("LSVC-TPU", "lsvctpuf2", clips))
+        print(f"BD-rate vs 128: rigid {rigid:+.1f}%  half-res-flow "
+              f"{halfres:+.1f}%  full-res-flow {full:+.1f}%")
+        assert full < halfres < rigid, (full, halfres, rigid)
+        assert rigid < 32.0 and halfres < 16.0, (rigid, halfres)

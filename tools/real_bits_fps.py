@@ -5,7 +5,7 @@ the host, decode==encode identity checked — with the net-vs-AC wall-clock
 split. Unlike bench.py (device-graph fps: decode excluding host entropy
 decode), every second of host entropy coding is on the bill here.
 
-Weights: assets/hd_lsvctpu_l2.npz when present (the 128px multi-object
+Weights: assets/hd_lsvctpuf2_l2.npz when present (the round-4 default config's checkpoint) (the 128px multi-object
 corpus checkpoint — conv weights apply at any resolution), else random
 init (flagged in the output).
 
@@ -38,7 +38,7 @@ import numpy as np
 
 def load_hd_params(level: int):
     path = os.path.join(REPO, "fastvideocodec_tpu", "assets",
-                        f"hd_lsvctpu_l{level}.npz")
+                        f"hd_lsvctpuf2_l{level}.npz")
     if not os.path.exists(path):
         return None
     data = np.load(path)

@@ -73,8 +73,11 @@ FAMILIES = {
     # models keep improving well past 1500 steps.
     "lsvc128_hd": (lambda lvl: get_codec_model(
         "LSVC-128", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # 'LSVC-TPU-RW' = the round-3 rigid s2d-warp config; its assets keep
+    # the hd_lsvctpu_* names (the round-4 default renamed the semantics:
+    # plain LSVC-TPU now trains the full-res-flow config = lsvctpuf2_hd).
     "lsvctpu_hd": (lambda lvl: get_codec_model(
-        "LSVC-TPU", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+        "LSVC-TPU-RW", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # '-F' = full-resolution MC warp (models/lsvc.py full_res_warp): the
     # round-3 head-to-head priced the s2d-domain warp at +26.1% BD-rate
     # vs LSVC-128; this rung isolates the warp-domain term of that gap
