@@ -163,6 +163,11 @@ def get_codec_model(
             # round-4 ablation names the trained hd assets).
             rigid = "-RW" in name
             halfres = "-HF" in name
+            # '-WT': MC refinement = WarpNetTPU with a stride-2 stem and a
+            # 128-wide trunk at /2 of the s2d domain (/4 of full res)
+            # instead of the reference-shape U-net — ~3x cheaper
+            # refinement; RD priced at the hd rung (assets/TINY_RD.md).
+            wt = "-WT" in name
             module = LSVC(
                 channels=128,
                 conv_channels=128,
@@ -171,7 +176,9 @@ def get_codec_model(
                 spynet_kernels=(5, 5, 3, 3),
                 spynet_s2d_levels=2,
                 mv_polyphase_out=True,
-                warp_width=64,
+                warp_tpu=wt,
+                warp_stride=2,
+                warp_width=128 if wt else 64,
                 mc_displacement=28,
                 full_res_warp=not rigid,
                 mv_full_res_out=not (rigid or halfres),

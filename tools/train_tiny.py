@@ -88,6 +88,12 @@ FAMILIES = {
     # prices the bilinear-upsampled half-res flow term of the RD gap.
     "lsvctpuf2_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU-F2", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # '-WT' = default warp semantics + WarpNetTPU(stride-2, 128-wide)
+    # MC refinement instead of the reference-shape U-net: the fps
+    # candidate for VERDICT round-3 item 2 — RD must be priced before it
+    # can become the default.
+    "lsvctpuwt_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU-WT", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # the reference operating point, one rung closer: 256x256 GOP 16
     # (VERDICT round-2 item 9 — eval runs at 2048x1024 GOP 16,
     # eval.py:495-496; this is the largest rung this environment's
