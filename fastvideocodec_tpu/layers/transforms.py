@@ -332,11 +332,13 @@ class SSFDecoder(nn.Module):
     """4x (5x5 s2 deconv + ReLU except last) (models.py:1890-1902).
 
     ``s2d=2`` (TPU-native): two deconv stages lift the /16 latent to /4 of
-    full resolution; the final conv is polyphase with factor 4 — it emits
-    ``16*out_planes`` channels that depth-to-space straight to FULL
-    resolution. The 128-wide trunk never runs above /4 res, and the
-    output keeps full-resolution expressiveness (d2s is a permutation of
-    the conv's output channels — the PolyphaseDeconv construction)."""
+    full resolution, a third deconv emits ``4*out_planes`` channels at /2,
+    and a final depth-to-space lands full resolution — the LSVC-TPU
+    synthesis pattern (models/lsvc.py res_decoder + d2s). The 128-wide
+    trunk never runs above /4 res and nothing wider than ``4*out_planes``
+    ever exists above it. (A first cut that stopped the deconvs at /4 and
+    emitted a factor-4 polyphase output measured +171% BD-rate at the
+    tiny rung — one real /2 deconv level is where the RD lives.)"""
 
     mid_planes: int = 128
     out_planes: int = 3
@@ -351,8 +353,8 @@ class SSFDecoder(nn.Module):
         if self.s2d > 1:
             x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
             x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
-            f = 2 * self.s2d
-            y = _conv(f * f * self.out_planes, 5, 1, self.dtype)(x)
+            f = self.s2d
+            y = _deconv(f * f * self.out_planes, 5, 2, self.dtype)(x)
             return depth_to_space(y, f)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)

@@ -70,6 +70,8 @@ class ELFVC(nn.Module):
         )
 
     forward_prediction = ScaleSpaceFlow.forward_prediction
+    make_volume = ScaleSpaceFlow.make_volume
+    warp_prediction = ScaleSpaceFlow.warp_prediction
     forward_keyframe = ScaleSpaceFlow.forward_keyframe
 
     def __call__(self, frames, training: bool = False, rng=None):
@@ -105,7 +107,11 @@ class ELFVC(nn.Module):
         motion_info_local = self.flow_predictor(
             jnp.concatenate([x_ref, state.x_ref_ref, state.motion_info_prior], axis=-1)
         )
-        x_pred_local = self.forward_prediction(x_ref, motion_info_local)
+        # one scale-space volume per frame, warped twice (local prediction
+        # here + decoded motion below) — the volume build is the expensive
+        # half of forward_prediction
+        volume = self.make_volume(x_ref)
+        x_pred_local = self.warp_prediction(volume, motion_info_local)
 
         # code motion conditioned on the local prediction (models.py:2091-2092)
         y_motion = self.motion_encoder(jnp.concatenate([x_cur, x_pred_local], axis=-1))
@@ -116,7 +122,7 @@ class ELFVC(nn.Module):
         # decoded motion = prior + delta (models.py:2095-2097)
         motion_info_delta = self.motion_decoder(y_motion_hat)
         motion_info = state.motion_info_prior + motion_info_delta
-        x_pred = self.forward_prediction(x_ref, motion_info)
+        x_pred = self.warp_prediction(volume, motion_info)
 
         x_res = x_cur - x_pred
         y_res = self.res_encoder(x_res)

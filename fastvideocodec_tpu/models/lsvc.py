@@ -39,6 +39,7 @@ from fastvideocodec_tpu.ops import (
     bits_estimate,
     depth_to_space,
     flow_warp,
+    flow_warp_fullres_s2d,
     laplace_likelihood,
     quantize,
     space_to_depth,
@@ -165,16 +166,17 @@ class LSVC(nn.Module):
     def motioncompensation(self, ref, mv):
         r = self.mc_displacement if self.mc_displacement > 0 else None
         if self.full_res_warp and self.s2d > 1:
-            ref_full = depth_to_space(ref, self.s2d)
             if self.mv_full_res_out:  # decoder already emits full-res flow
                 mv_full = 2.0 * mv
             else:
                 mv_full = 2.0 * bilinear_upsample_x2(mv)
-            warped_full = flow_warp(
-                ref_full, mv_full,
+            # fused layout: the d2s/s2d round trip folds into the Pallas
+            # kernel's planarize/untile relayouts (ops.flow_warp_fullres_s2d;
+            # value-identical to d2s -> flow_warp -> s2d)
+            warped = flow_warp_fullres_s2d(
+                ref, mv_full,
                 max_displacement=None if r is None else 2 * r,
             )
-            warped = space_to_depth(warped_full, self.s2d)
         else:
             warped = flow_warp(ref, mv, max_displacement=r)
         pred = self.warpnet(jnp.concatenate([warped, ref], axis=-1)) + warped

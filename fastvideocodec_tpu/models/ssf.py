@@ -74,12 +74,22 @@ class ScaleSpaceFlow(nn.Module):
             liks.append(lik)
         return jnp.stack(recons), liks
 
-    def forward_prediction(self, x_ref, motion_info):
-        """motion_info: [..., 3] = (flow_x, flow_y, scale)."""
+    def make_volume(self, x_ref):
+        """Scale-space volume of the reference frame — the expensive half
+        of forward_prediction (6 levels of blurs/pools/re-upsamplings at
+        full resolution). Split out so call sites that warp the SAME
+        reference twice (ELFVC's local-prediction + decoded-motion warps,
+        models.py:2088+2097) build it once."""
+        return gaussian_volume(x_ref, self.sigma0, self.num_levels)
+
+    def warp_prediction(self, volume, motion_info):
         flow = motion_info[..., :2]
         scale_field = motion_info[..., 2:3]
-        volume = gaussian_volume(x_ref, self.sigma0, self.num_levels)
         return warp_volume(volume, flow, scale_field)
+
+    def forward_prediction(self, x_ref, motion_info):
+        """motion_info: [..., 3] = (flow_x, flow_y, scale)."""
+        return self.warp_prediction(self.make_volume(x_ref), motion_info)
 
     def forward_keyframe(self, x, training: bool, rng=None):
         y = self.img_encoder(x)

@@ -305,9 +305,20 @@ RESIDUAL_R = 12  # v5 residual vertical half-window (rows around tile mean)
 
 def _pallas_warp(
     img: jax.Array, flow: jax.Array, R: int, interpret: bool = False,
-    pixel_mode: bool = False,
+    pixel_mode: bool = False, s2d_io: bool = False,
 ) -> jax.Array:
-    B, H, W, C = img.shape
+    if s2d_io:
+        # img is the SPACE-TO-DEPTH form [B, H/2, W/2, 4C] of the [B, H,
+        # W, C] image actually being warped (flow stays full-res). The
+        # d2s->planarize input chain and the untile->s2d output chain each
+        # collapse into ONE relayout — chained 3-channel full-res permutes
+        # ran at ~10% of HBM peak and were ~1/3 of the round-4 decode
+        # graph's wall clock (xprof, VERDICT round-3 item 2).
+        B, H2, W2, C4 = img.shape
+        C = C4 // 4
+        H, W = H2 * 2, W2 * 2
+    else:
+        B, H, W, C = img.shape
     th = _tile_h(H, W, C, R, img.dtype.itemsize)
     p = th * TILE_W
     # halo dims rounded to (8, 128) so VMEM scratch stays tile-aligned
@@ -325,8 +336,19 @@ def _pallas_warp(
     offset_mode = Hh - Hv >= 16
 
     # channel-planar padded source: [B, C, H + Hh - th, W + Wh - TILE_W]
+    if s2d_io:
+        # fused d2s + planarize: s2d channels are ordered (ry, rx, c)
+        # (ops.warp.space_to_depth), so one transpose lands channel-planar
+        # full resolution directly
+        planar = (
+            img.reshape(B, H2, W2, 2, 2, C)
+            .transpose(0, 5, 1, 3, 2, 4)
+            .reshape(B, C, H, W)
+        )
+    else:
+        planar = img.transpose(0, 3, 1, 2)
     xpad = jnp.pad(
-        img.transpose(0, 3, 1, 2),
+        planar,
         ((0, 0), (0, 0), (R, Hh - th - R), (R, Wh - TILE_W - R)),
         mode="edge",
     )
@@ -432,7 +454,15 @@ def _pallas_warp(
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(flow_t, xpad)
-    # untile: [B, nI, nJ, C, P] -> [B, H, W, C]
+    # untile: [B, nI, nJ, C, P] -> [B, H, W, C] (or fused straight back to
+    # the s2d layout — one relayout instead of untile + space_to_depth)
+    if s2d_io:
+        th2, TW2 = th // 2, TILE_W // 2
+        out = out.reshape(B, nI, nJ, C, th2, 2, TW2, 2)
+        return (
+            out.transpose(0, 1, 4, 2, 6, 5, 7, 3)
+            .reshape(B, H2, W2, 4 * C)
+        )
     out = out.reshape(B, nI, nJ, C, th, TILE_W)
     return out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, C)
 
@@ -479,6 +509,47 @@ def _pfw_bwd(max_displacement, res, g):
 
 
 pallas_flow_warp.defvjp(_pfw_fwd, _pfw_bwd)
+
+
+def _exact_fullres_s2d(img_s2d: jax.Array, flow: jax.Array) -> jax.Array:
+    from fastvideocodec_tpu.ops.warp import (
+        _xla_flow_warp,
+        depth_to_space,
+        space_to_depth,
+    )
+
+    return space_to_depth(
+        _xla_flow_warp(depth_to_space(img_s2d, 2), flow), 2
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_flow_warp_s2d(img_s2d: jax.Array, flow: jax.Array,
+                         max_displacement: int = 56):
+    """Full-resolution bilinear warp consuming AND producing space-to-depth
+    tensors: img_s2d [B, H/2, W/2, 4C], flow [B, H, W, 2] full-res pixels.
+
+    Value-identical to space_to_depth(pallas_flow_warp(depth_to_space(
+    img_s2d, 2), flow), 2); the layout conversions fuse into the kernel's
+    planarize/untile relayouts (see _pallas_warp s2d_io)."""
+    B, H2, W2, C4 = img_s2d.shape
+    full_shape = (B, 2 * H2, 2 * W2, C4 // 4)
+    if C4 % 4 or not _supported(full_shape, max_displacement):
+        return _exact_fullres_s2d(img_s2d, flow)
+    return _pallas_warp(img_s2d, flow, max_displacement, s2d_io=True)
+
+
+def _pfws_fwd(img_s2d, flow, max_displacement):
+    return pallas_flow_warp_s2d(img_s2d, flow, max_displacement), (img_s2d, flow)
+
+
+def _pfws_bwd(max_displacement, res, g):
+    img_s2d, flow = res
+    _, vjp = jax.vjp(_exact_fullres_s2d, img_s2d, flow)
+    return vjp(g)
+
+
+pallas_flow_warp_s2d.defvjp(_pfws_fwd, _pfws_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -169,6 +169,34 @@ def _flow_warp_dispatch(img: jax.Array, flow: jax.Array, *, exact: bool, r: int)
     return _xla_flow_warp(img, flow)
 
 
+def flow_warp_fullres_s2d(
+    img_s2d: jax.Array, flow: jax.Array, max_displacement: int | None = None
+) -> jax.Array:
+    """flow_warp of a FULL-resolution image carried in its space-to-depth
+    form: img_s2d [B, H/2, W/2, 4C], flow [B, H, W, 2] full-res pixels;
+    returns the warped image, still in s2d form.
+
+    Value-identical to space_to_depth(flow_warp(depth_to_space(img_s2d,
+    2), flow), 2) — the s2d-domain codecs' full-res MC warp
+    (models/lsvc.py full_res_warp). On the TPU kernel path the layout
+    round trips fuse into the kernel's own planarize/untile relayouts:
+    the chained 3-channel full-res permutes ran at ~10% of HBM peak and
+    were ~1/3 of the round-4 decode graph (xprof)."""
+    r = PALLAS_WARP_MAX_DISPLACEMENT if max_displacement is None else max_displacement
+    return _flow_warp_s2d_dispatch(img_s2d, flow, exact=_FORCE_EXACT_WARP, r=r)
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "r"))
+def _flow_warp_s2d_dispatch(img_s2d, flow, *, exact: bool, r: int):
+    if not exact and jax.default_backend() == "tpu":
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+            pallas_flow_warp_s2d,
+        )
+
+        return pallas_flow_warp_s2d(img_s2d, flow, r)
+    return space_to_depth(_xla_flow_warp(depth_to_space(img_s2d, 2), flow), 2)
+
+
 def _xla_flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Gather-based reference implementation (exact, unbounded flow).
 
@@ -415,11 +443,14 @@ def gaussian_blur(x: jax.Array, sigma: float, kernel_size: int | None = None) ->
 
 
 def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
-    """Scale-space volume [B, D, H, W, C] with D = num_levels + 1.
+    """Scale-space volume [B, H, W, D, C] with D = num_levels + 1.
 
     Level 0 is x itself; level 1 is blur(x); deeper levels are built by
     avg-pool downsampling, blurring and bilinear re-upsampling — mirroring
-    compressai ScaleSpaceFlow.gaussian_volume.
+    compressai ScaleSpaceFlow.gaussian_volume. The depth axis sits NEXT TO
+    the channels (not leading) so warp_volume's [B, H, W, D*C] 2-D sample
+    layout is a free reshape instead of a full-volume transpose (an
+    18-channel full-res relayout per frame at 1080p).
     """
     levels = [x]
     cur = gaussian_blur(x, sigma0)
@@ -431,7 +462,7 @@ def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
         for _ in range(i):
             interp = bilinear_upsample_x2(interp)
         levels.append(interp)
-    return jnp.stack(levels, axis=1)
+    return jnp.stack(levels, axis=3)
 
 
 def _xla_pixel_warp(img: jax.Array, flow_px: jax.Array) -> jax.Array:
@@ -468,7 +499,7 @@ def _pixel_warp_dispatch(img, flow_px, *, exact: bool, r: int):
 def warp_volume(volume: jax.Array, flow: jax.Array, scale_field: jax.Array) -> jax.Array:
     """Trilinear sample of the scale-space volume (compressai warp_volume).
 
-    volume: [B, D, H, W, C]; flow: [B, H, W, 2] in *normalized* units
+    volume: [B, H, W, D, C]; flow: [B, H, W, 2] in *normalized* units
     (added directly to the affine base grid, align_corners=False);
     scale_field: [B, H, W, 1] normalized depth coordinate in [-1, 1].
 
@@ -478,9 +509,10 @@ def warp_volume(volume: jax.Array, flow: jax.Array, scale_field: jax.Array) -> j
     kernel's pixel mode) — the SSF family's hottest eval op would otherwise
     hit XLA's per-element gathers. exact_warp() forces the gather path.
     """
-    B, D, H, W, C = volume.shape
-    # 2D bilinear sample of every depth level with the shared xy grid.
-    vol2d = volume.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * C)
+    B, H, W, D, C = volume.shape
+    # 2D bilinear sample of every depth level with the shared xy grid
+    # (free reshape — the volume is built depth-next-to-channels).
+    vol2d = volume.reshape(B, H, W, D * C)
     flow_px = flow.astype(jnp.float32) * jnp.asarray(
         [W / 2.0, H / 2.0], jnp.float32
     )

@@ -206,9 +206,11 @@ class TestMSSSIM:
 class TestSSFVolume:
     def test_volume_shape_and_level0(self):
         x = jnp.asarray(_rand(1, 32, 32, 3, seed=12))
+        # depth axis sits next to channels so warp_volume's 2-D sample
+        # layout is a free reshape (round-4 SSF speed work)
         vol = ops.gaussian_volume(x, sigma0=1.5, num_levels=5)
-        assert vol.shape == (1, 6, 32, 32, 3)
-        np.testing.assert_allclose(np.asarray(vol[:, 0]), np.asarray(x))
+        assert vol.shape == (1, 32, 32, 6, 3)
+        np.testing.assert_allclose(np.asarray(vol[..., 0, :]), np.asarray(x))
 
     def test_warp_volume_identity(self):
         x = jnp.asarray(_rand(1, 16, 16, 3, seed=13))

@@ -136,10 +136,12 @@ if __name__ == "__main__":
     p.add_argument("--gops", type=int, nargs="*", default=[2, 4, 8, 16, 30])
     p.add_argument("--ssf", nargs="*", default=["SSF-Official", "ELFVC", "ELFVC-SP"])
     p.add_argument("--skip-ssf", action="store_true")
+    p.add_argument("--skip-lsvc", action="store_true")
     p.add_argument("--codec", default="LSVC-TPU",
                    help="LSVC config for the GOP sweep (e.g. LSVC-TPU-F "
                    "to price the full-res MC warp)")
     args = p.parse_args()
-    lsvc_gop_sweep(args.gops, codec=args.codec)
+    if not args.skip_lsvc:
+        lsvc_gop_sweep(args.gops, codec=args.codec)
     if not args.skip_ssf:
         ssf_encode_sweep(args.ssf)

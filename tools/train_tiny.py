@@ -64,6 +64,10 @@ FAMILIES = {
             (0, 2, 4), 800, _tiny_gen),
     "base": (lambda lvl: get_codec_model("Base-ER-TINY", compression_level=lvl),
              (0, 2, 4), 800, _tiny_gen),
+    # SSF-TPU at miniature scale: the Vesper-speed variant's RD evidence
+    # (golden test compares it to the stock SSF-TINY curve)
+    "ssftpu": (lambda lvl: get_codec_model(
+        "SSF-TPU-TINY", compression_level=lvl), (0, 2, 4), 800, _tiny_gen),
     "mcvc": (lambda lvl: get_codec_model(
         "MCVC-IA-TINY", num_views=3, compression_level=lvl), (0, 3, 6), 1200,
         None),
@@ -94,6 +98,16 @@ FAMILIES = {
     # can become the default.
     "lsvctpuwt_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU-WT", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # the raised golden rung (VERDICT round-3 item 7): the flagship pair
+    # one resolution step up (192px, GOP 8, same corpus family) — tests
+    # the 'gap shrinks with resolution' hypothesis with a measured
+    # BD-rate trend across 128 -> 192 px.
+    "lsvc128_192": (lambda lvl: get_codec_model(
+        "LSVC-128", compression_level=lvl), (0, 2, 4), 1500,
+        lambda rng: synth_gop_multi(rng, size=192, gop=8)),
+    "lsvctpu_192": (lambda lvl: get_codec_model(
+        "LSVC-TPU", compression_level=lvl), (0, 2, 4), 1500,
+        lambda rng: synth_gop_multi(rng, size=192, gop=8)),
     # the reference operating point, one rung closer: 256x256 GOP 16
     # (VERDICT round-2 item 9 — eval runs at 2048x1024 GOP 16,
     # eval.py:495-496; this is the largest rung this environment's
@@ -173,6 +187,72 @@ def train_single_view(spec, steps: int, seed: int = 0, gen=synth_gop,
         print(
             f"  step {s + n - 1:4d} loss {float(m['loss']):9.2f} "
             f"psnr {float(m['psnr']):6.2f} bpp {float(m['bpp']):6.3f} "
+            f"({time.time() - t0:.0f}s)", flush=True,
+        )
+    return params
+
+
+def train_ssf(spec, steps: int, seed: int = 0, gen=synth_gop):
+    """SSF-family recipe (assets/TINY_RD.md tiny_ssf): loss r*mse + bpp +
+    aux over the FULL __call__ chain — keyframe img_hyperprior included,
+    since the real-bits ssf_compress_gop codes frame 0 through the learned
+    image codec."""
+    r = spec.r
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    gop0 = jnp.asarray(gen(rng))[:, None]  # [T, B=1, H, W, 3]
+    params = jax.jit(
+        lambda k, g: spec.module.init({"params": k}, g, training=False)
+    )(key, gop0)
+    cfg = TrainConfig(learning_rate=1e-4)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, gop, rng_):
+        recons, liks = spec.module.apply(p, gop, training=True, rng=rng_)
+        denom = gop.shape[2] * gop.shape[3]
+        bpp = sum(
+            bits_estimate(lik["y"]) + bits_estimate(lik["z"])
+            for d in liks for lik in d.values()
+        ) / (denom * gop.shape[0])
+        mse = jnp.mean((recons - gop) ** 2)
+        aux = spec.module.apply(p, method="aux_loss")
+        loss = r * mse * gop.shape[0] + bpp * gop.shape[0] + aux
+        return loss, {"loss": loss, "mse": mse, "bpp": bpp}
+
+    def jstep(p, st, gop, rng_):
+        (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, gop, rng_)
+        updates, st = tx.update(grads, st, p)
+        return optax.apply_updates(p, updates), st, m
+
+    CHUNK = 25  # amortize the per-call RPC latency of the tunneled chip
+
+    @jax.jit
+    def multi_step(p, st, gops, keys):
+        def body(carry, inp):
+            p_, st_ = carry
+            g, k = inp
+            p_, st_, m = jstep(p_, st_, g, k)
+            return (p_, st_), m
+        (p, st), ms = jax.lax.scan(body, (p, st), (gops, keys))
+        return p, st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    t0 = time.time()
+    jstep1 = jax.jit(jstep)
+    for s in range(0, steps, CHUNK):
+        n = min(CHUNK, steps - s)
+        gops = jnp.stack([jnp.asarray(gen(rng))[:, None] for _ in range(n)])
+        key, *sks = jax.random.split(key, n + 1)
+        if n != CHUNK:
+            for i in range(n):
+                params, opt_state, m = jstep1(params, opt_state, gops[i], sks[i])
+        else:
+            params, opt_state, m = multi_step(
+                params, opt_state, gops, jnp.stack(sks))
+        psnr = 10 * np.log10(1.0 / max(float(m["mse"]), 1e-12))
+        print(
+            f"  step {s + n - 1:4d} loss {float(m['loss']):9.2f} "
+            f"psnr {psnr:6.2f} bpp {float(m['bpp']):6.3f} "
             f"({time.time() - t0:.0f}s)", flush=True,
         )
     return params
@@ -283,11 +363,17 @@ def main():
                   f"{steps} steps", flush=True)
             if fam == "mcvc":
                 params = train_mcvc(spec, steps)
+            elif spec.family == "ssf":
+                params = train_ssf(spec, steps, gen=gen)
             else:
                 params = train_single_view(spec, steps, gen=gen,
                                            decay=args.decay)
-            prefix = "hd_" if fam.endswith("_hd") else "tiny_"
-            stem = fam[:-3] if fam.endswith("_hd") else fam
+            if fam.endswith("_hd"):
+                prefix, stem = "hd_", fam[:-3]
+            elif fam.endswith("_192"):
+                prefix, stem = "hd192_", fam[:-4]
+            else:
+                prefix, stem = "tiny_", fam
             path = os.path.join(args.out, f"{prefix}{stem}_l{lvl}.npz")
             np.savez(path, **flatten_f16(params))
             print(f"  saved {path} "
