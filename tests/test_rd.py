@@ -739,3 +739,52 @@ class TestGoldenRDSSFTPU:
         bdr = bd_rate(*ref, *tpu)
         print(f"BD-rate(SSF-TPU vs SSF): {bdr:+.1f}%")
         assert bdr < 15.0, (bdr, ref, tpu)
+
+
+@pytest.mark.slow
+class TestHD192Trend:
+    """The raised golden rung (VERDICT round-3 item 7): the flagship pair
+    at 192px GOP 8 (assets/hd192_{lsvc128,lsvctpu}_l{0,2,4}.npz, 1500
+    steps each) — tests the 'gap shrinks with resolution' hypothesis: the
+    BD-rate of LSVC-TPU vs LSVC-128 at 192px must stay within the 128px
+    rung's bound (and the measured trend across rungs is printed)."""
+
+    SIZE, GOP, LEVELS = 192, 8, (0, 2, 4)
+
+    def _curve(self, name: str, fam: str, clips):
+        from fastvideocodec_tpu.coder.video import lsvc_compress
+        from fastvideocodec_tpu.train.checkpoint import asset_params
+
+        spec = get_codec_model(name)
+        denom = (self.GOP - 1) * self.SIZE * self.SIZE
+        bpps, psnrs = [], []
+        for level in self.LEVELS:
+            params = asset_params(f"hd192_{fam}_l{level}")
+            if params is None:
+                pytest.skip(f"missing asset hd192_{fam}_l{level}")
+            bs, ps = [], []
+            for gop in clips:
+                _, recon, bits = lsvc_compress(spec, params, gop)
+                bs.append(bits / denom)
+                mse = float(jnp.mean((recon - gop[1:]) ** 2))
+                ps.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            bpps.append(float(np.mean(bs)))
+            psnrs.append(float(np.mean(ps)))
+        return bpps, psnrs
+
+    def test_flagship_gap_bounded_at_192(self):
+        from fastvideocodec_tpu.analysis.bdrate import bd_psnr, bd_rate
+        from fastvideocodec_tpu.data.synthetic import synth_gop_multi
+
+        rng = np.random.default_rng(123)
+        clips = [
+            jnp.asarray(synth_gop_multi(rng, size=self.SIZE, gop=self.GOP))
+            for _ in range(3)
+        ]
+        ref = self._curve("LSVC-128", "lsvc128", clips)
+        tpu = self._curve("LSVC-TPU", "lsvctpu", clips)
+        bdr = bd_rate(*ref, *tpu)
+        bdp = bd_psnr(*ref, *tpu)
+        print(f"192px BD-rate(TPU vs 128): {bdr:+.1f}%  BD-PSNR {bdp:+.3f} "
+              f"(128px rung: +6.1% / -0.30)")
+        assert bdr < 10.0, (bdr, ref, tpu)

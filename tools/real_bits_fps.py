@@ -68,6 +68,7 @@ def main():
     args = ap.parse_args()
     os.environ["FVC_CODER_WARP"] = args.warp
 
+    from fastvideocodec_tpu.coder import measure_ac_time
     from fastvideocodec_tpu.coder.video import lsvc_compress, lsvc_decompress
     from fastvideocodec_tpu.data.synthetic import synth_gop_multi
     from fastvideocodec_tpu.models import get_codec_model
@@ -102,10 +103,12 @@ def main():
         # perturb so the relay can't memoize identical executions
         g = gop * (1.0 + 1e-4 * rep)
         t0 = time.perf_counter()
-        streams, recon, bits = lsvc_compress(spec, params, g)
+        with measure_ac_time() as enc_ac:
+            streams, recon, bits = lsvc_compress(spec, params, g)
         t_enc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        dec = lsvc_decompress(spec, params, g[0], streams, P)
+        with measure_ac_time() as dec_ac:
+            dec = lsvc_decompress(spec, params, g[0], streams, P)
         t_dec = time.perf_counter() - t0
         ident = bool(jnp.all(dec == recon))
         assert ident, "decode != encode recon"
@@ -115,8 +118,10 @@ def main():
                   f"bpp {bpp:.4f}", flush=True)
             continue
         results.append((t_enc, t_dec, bpp))
-        print(f"  rep {rep}: enc {t_enc:.2f}s ({P / t_enc:.1f} fps)  "
-              f"dec {t_dec:.2f}s ({P / t_dec:.1f} fps)  bpp {bpp:.4f}  "
+        print(f"  rep {rep}: enc {t_enc:.2f}s ({P / t_enc:.1f} fps, "
+              f"AC {enc_ac['seconds']:.2f}s)  "
+              f"dec {t_dec:.2f}s ({P / t_dec:.1f} fps, "
+              f"AC {dec_ac['seconds']:.2f}s)  bpp {bpp:.4f}  "
               f"identity OK", flush=True)
 
     enc = min(r[0] for r in results)
