@@ -135,6 +135,8 @@ class MCVC(nn.Module):
             )
 
     forward_prediction = ScaleSpaceFlow.forward_prediction
+    make_volume = ScaleSpaceFlow.make_volume
+    warp_prediction = ScaleSpaceFlow.warp_prediction
 
     def forward_keyframe(self, x, mask, training: bool, rng=None):
         x = mask_views(x, mask)
