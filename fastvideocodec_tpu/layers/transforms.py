@@ -354,7 +354,12 @@ class SSFDecoder(nn.Module):
             x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
             x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
             f = self.s2d
-            y = _deconv(f * f * self.out_planes, 5, 2, self.dtype)(x)
+            # a real (if narrow) feature level at /2 before the polyphase
+            # output: emitting out-planes straight from the /4 trunk
+            # measured +72.6% BD-rate at the tiny rung (capacity at /2 is
+            # where SSF's decoders earn their rate)
+            x = _deconv(4 * m // 8, 5, 2, self.dtype, act=jax.nn.relu)(x)
+            y = _conv(f * f * self.out_planes, 3, 1, self.dtype)(x)
             return depth_to_space(y, f)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
