@@ -78,9 +78,10 @@ def run_evaluate_sweep(args, spec, params, dtype):
     test_ds = VideoDataset(args.test_dataset_dir, (h, w), args.max_files or 0)
     ds_name = args.test_dataset_dir.rstrip("/").split("/")[-1]
     log_path = f"{args.codec}.{ds_name}.{args.evolve}.log"
-    # only multi-level codecs sweep all 8 levels (train.py:431-436 breaks
-    # after level 0 unless the codec is level-conditioned)
-    levels = range(8) if "-L" in args.codec else range(1)
+    # only the level-conditioned codec sweeps all 8 levels — the
+    # reference's condition is the exact name `ELFVC-L` (train.py:434);
+    # a substring test would wrongly sweep e.g. the chain-graph LSVC-L
+    levels = range(8) if args.codec == "ELFVC-L" else range(1)
     for level in levels:
         p = params
         if args.evolve:

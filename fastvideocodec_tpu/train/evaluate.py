@@ -56,6 +56,12 @@ def _time_decode_only(spec: CodecSpec, params, padded: np.ndarray):
     if entry is None:
         decode, latents = build_lsvc_decode(spec.module, T, H, W)
         entry = (jax.jit(decode), latents, [False])
+        # keep only the live entry: the cache holds jitted closures plus
+        # full example-latent arrays, so a long eval sweeping many
+        # resolutions/GOP tails would otherwise grow without bound
+        # (ADVICE r4). One entry preserves the per-(video,shape) reuse
+        # that matters; a shape change just pays one recompile.
+        _DEC_GRAPHS.clear()
         _DEC_GRAPHS[key] = entry
     dfn, latents, warmed = entry
     s2d = spec.module.s2d

@@ -38,8 +38,11 @@ def make_olft_step(spec, cfg, ratio: float, optimizer=None):
       (models.py:2318-2321, 2338-2341) — the camera ships the top-r%%
       worst pixels as online labels;
     - distortion supervises the (enhanced) reconstruction against
-      x_touch over the alive views; the gradient is exactly the
-      touch-up-pixel signal (label == stop_grad(recon) elsewhere);
+      x_touch over the alive views; touched pixels carry the raw-frame
+      signal, while the UNTOUCHED pixels equal the detached plain x_ref
+      chain — so the loss also pulls the enhanced recon toward the
+      plain-decoder output there (matching the reference's x_hat vs
+      x_touch built from x_ref, metrics_per_gop);
     - loss = r * mse with NO estimated-bpp term (reference
       train_multiview.py:242-244: ``loss = model.r*mse`` for OLFT; the
       touch-up bandwidth is accounted on the host via zlib instead).

@@ -138,6 +138,34 @@ def test_spynet_flow_scale_through_pallas():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,R", [((1, 8, 64, 12), 8), ((2, 8, 64, 4), 16)])
+def test_s2d_io_matches_d2s_warp_s2d_roundtrip(shape, R):
+    """The fused s2d relayouts (s2d_io mode — the flagship's default MC
+    warp on TPU) must equal the unfused composition space_to_depth(
+    warp(depth_to_space(img, 2), flow), 2). The hand-derived
+    reshape/transpose permutations inside the kernel are exactly what
+    this pins (ADVICE r4: nothing previously checked the TPU path)."""
+    from fastvideocodec_tpu.ops import depth_to_space, space_to_depth
+
+    B, H2, W2, C4 = shape
+    H, W = H2 * 2, W2 * 2
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    img_s2d = _rand(k1, shape)
+    flow = _rand(k2, (B, H, W, 2), -(R - 1.5), R - 1.5)
+    got = _pallas_warp(img_s2d, flow, R, interpret=True, s2d_io=True)
+    full = depth_to_space(img_s2d, 2)
+    want = space_to_depth(
+        _pallas_warp(full, flow, R, interpret=True), 2
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # and both agree with the exact XLA composition inside the bound
+    want_exact = space_to_depth(_xla_flow_warp(full, flow), 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_exact), atol=1e-4
+    )
+
+
 def test_pixel_mode_matches_xla_pixel_warp():
     """warp_volume's dispatch: direct pixel displacements (source = output
     + flow), depth levels folded into channels."""

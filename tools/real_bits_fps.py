@@ -5,9 +5,10 @@ the host, decode==encode identity checked — with the net-vs-AC wall-clock
 split. Unlike bench.py (device-graph fps: decode excluding host entropy
 decode), every second of host entropy coding is on the bill here.
 
-Weights: assets/hd_lsvctpuf2_l2.npz when present (the round-4 default config's checkpoint) (the 128px multi-object
-corpus checkpoint — conv weights apply at any resolution), else random
-init (flagged in the output).
+Weights: assets/hd_lsvctpuf2_l2.npz when present — the round-4 default
+config's checkpoint, trained on the 128px multi-object corpus (conv
+weights apply at any resolution) — else random init (flagged in the
+output).
 
 Usage:  python tools/real_bits_fps.py [--gop 16] [--h 1024] [--w 2048]
         [--reps 3] [--level 2] [--warp exact|native]

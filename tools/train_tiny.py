@@ -82,12 +82,15 @@ FAMILIES = {
     # plain LSVC-TPU now trains the full-res-flow config = lsvctpuf2_hd).
     "lsvctpu_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU-RW", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
-    # '-F' = full-resolution MC warp (models/lsvc.py full_res_warp): the
-    # round-3 head-to-head priced the s2d-domain warp at +26.1% BD-rate
-    # vs LSVC-128; this rung isolates the warp-domain term of that gap
-    # (VERDICT round-3 item 1) with the identical recipe/corpus.
+    # Half-res-flow ablation: full-res MC warp with a flow field
+    # bilinearly upsampled from the half-res mv decoder output — the
+    # middle rung of the round-4 warp attribution (rigid +26.1% -> this
+    # +10.8% -> full-res flow +6.1%). The shipped hd_lsvctpuf_* assets
+    # are THIS config; '-HF' is its registry name (the old name '-F' now
+    # aliases the full-res-flow default and would silently train the
+    # wrong rung — ADVICE r4).
     "lsvctpuf_hd": (lambda lvl: get_codec_model(
-        "LSVC-TPU-F", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+        "LSVC-TPU-HF", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # '-F2' = '-F' + decoder-native full-res flow (polyphase_factor=4):
     # prices the bilinear-upsampled half-res flow term of the RD gap.
     "lsvctpuf2_hd": (lambda lvl: get_codec_model(
