@@ -295,56 +295,19 @@ def _bilinear_upsample_x2_interleave(x: jax.Array) -> jax.Array:
     return _resize_axis_x2(_resize_axis_x2(x, 1, False), 2, False)
 
 
-@jax.custom_vjp
 def bilinear_upsample_x2(x: jax.Array) -> jax.Array:
     """x2 bilinear, align_corners=False (reference bilinearupsacling).
 
     torch `interpolate(mode='bilinear')` uses half-pixel centers; for x2
-    that's a PERIODIC 2-tap pattern = one depthwise transposed conv with
-    the fixed separable kernel [1/4, 3/4, 3/4, 1/4] (TPU-native), edges
-    fixed up with clamped boundary rows/cols. The grouped input-dilated
-    conv has no reverse-mode rule, so the (linear) VJP routes through the
-    interleave formulation.
+    that's a periodic 2-tap pattern — two shifted lerps interleaved per
+    axis (edges clamped), which XLA fuses into one elementwise pass. An
+    earlier depthwise input-dilated-conv formulation measured 1.6 ms per
+    half->full 1080p pass on a v5e vs ~0.1 ms for this one (grouped convs
+    at C=3 waste 125/128 MXU lanes per group), needed edge fixups AND a
+    custom VJP (grouped input-dilated convs have no reverse-mode rule);
+    the interleave autodiffs natively.
     """
-    B, H, W, C = x.shape
-    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
-    kern = (k1[:, None] * k1[None, :]).reshape(4, 4, 1, 1)
-    kern = jnp.broadcast_to(kern, (4, 4, 1, C)).astype(x.dtype)
-    # transposed conv as input-dilated correlation (the kernel is
-    # symmetric, so correlation == convolution)
-    y = jax.lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding=((2, 2), (2, 2)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-        precision=None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST,
-    )
-    # interior matches torch exactly; the first/last output row/col use
-    # clamped (border-replicated) taps in torch — fix them up.
-    top = x[:, :1]
-    bot = x[:, -1:]
-    y = y.at[:, 0].set(_resize_axis_x2(top, 2, False)[:, 0] )
-    y = y.at[:, -1].set(_resize_axis_x2(bot, 2, False)[:, 0])
-    left = _resize_axis_x2(x[:, :, :1], 1, False)[:, :, 0]
-    right = _resize_axis_x2(x[:, :, -1:], 1, False)[:, :, 0]
-    y = y.at[:, :, 0].set(left)
-    y = y.at[:, :, -1].set(right)
-    return y
-
-
-def _up2_fwd(x):
-    return bilinear_upsample_x2(x), None
-
-
-def _up2_bwd(_, g):
-    # linear op: vjp is input-independent; evaluate it on the
-    # interleave-based implementation which supports autodiff. The input
-    # shape is just the cotangent's spatial dims halved.
-    shape = (g.shape[0], g.shape[1] // 2, g.shape[2] // 2, g.shape[3])
-    _, vjp = jax.vjp(_bilinear_upsample_x2_interleave, jnp.zeros(shape, g.dtype))
-    return vjp(g)
-
-
-bilinear_upsample_x2.defvjp(_up2_fwd, _up2_bwd)
+    return _bilinear_upsample_x2_interleave(x)
 
 
 def bilinear_upsample_x2_ac(x: jax.Array) -> jax.Array:
@@ -414,32 +377,33 @@ def gaussian_kernel1d(kernel_size: int, sigma: float) -> np.ndarray:
 
 
 def gaussian_blur(x: jax.Array, sigma: float, kernel_size: int | None = None) -> jax.Array:
-    """Depthwise gaussian blur with replicate (edge) padding, separable.
+    """Separable gaussian blur with replicate (edge) padding.
 
     Matches compressai.models.utils.gaussian_blur semantics used to build
-    the SSF scale-space volume.
+    the SSF scale-space volume — but as a shifted-add tap chain, not a
+    depthwise conv: feature_group_count=C convs at C=3 measured 4.7 ms
+    per full-res 1080p pass on a v5e (the MXU path wastes 125/128 lanes
+    per group), while the fused elementwise tap chain measures ~0.5 ms
+    with bitwise-identical bf16 output. Autodiffs natively (pad/slice
+    have rules), so no custom VJP is needed.
     """
     if kernel_size is None:
         kernel_size = 2 * int(math.ceil(3 * sigma)) + 1
-    k = jnp.asarray(gaussian_kernel1d(kernel_size, sigma), dtype=x.dtype)
+    k = gaussian_kernel1d(kernel_size, sigma)
     pad = kernel_size // 2
-    B, H, W, C = x.shape
-    # blur along H
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="edge")
-    kh = k.reshape(kernel_size, 1, 1, 1)
-    xh = jax.lax.conv_general_dilated(
-        xp, jnp.broadcast_to(kh, (kernel_size, 1, 1, C)),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-    )
-    # blur along W
-    xp = jnp.pad(xh, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="edge")
-    kw = k.reshape(1, kernel_size, 1, 1)
-    return jax.lax.conv_general_dilated(
-        xp, jnp.broadcast_to(kw, (1, kernel_size, 1, C)),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-    )
+
+    def tap_sum(v, axis):
+        n = v.shape[axis]
+        cfg = [(0, 0)] * v.ndim
+        cfg[axis] = (pad, pad)
+        vp = jnp.pad(v, cfg, mode="edge")
+        return sum(
+            jnp.asarray(k[t], v.dtype)
+            * jax.lax.slice_in_dim(vp, t, t + n, axis=axis)
+            for t in range(kernel_size)
+        )
+
+    return tap_sum(tap_sum(x, 1), 2)
 
 
 def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
