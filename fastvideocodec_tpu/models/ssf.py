@@ -79,13 +79,14 @@ class ScaleSpaceFlow(nn.Module):
         of forward_prediction (6 levels of blurs/pools/re-upsamplings at
         full resolution). Split out so call sites that warp the SAME
         reference twice (ELFVC's local-prediction + decoded-motion warps,
-        models.py:2088+2097) build it once."""
+        models.py:2088+2097) build it once. Flat [B, H, W, D*C] layout
+        (see ops.gaussian_volume)."""
         return gaussian_volume(x_ref, self.sigma0, self.num_levels)
 
     def warp_prediction(self, volume, motion_info):
         flow = motion_info[..., :2]
         scale_field = motion_info[..., 2:3]
-        return warp_volume(volume, flow, scale_field)
+        return warp_volume(volume, flow, scale_field, num_levels=self.num_levels)
 
     def forward_prediction(self, x_ref, motion_info):
         """motion_info: [..., 3] = (flow_x, flow_y, scale)."""

@@ -407,14 +407,16 @@ def gaussian_blur(x: jax.Array, sigma: float, kernel_size: int | None = None) ->
 
 
 def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
-    """Scale-space volume [B, H, W, D, C] with D = num_levels + 1.
+    """Scale-space volume as a FLAT channel stack [B, H, W, D*C] with
+    D = num_levels + 1 (level d occupies channels d*C..(d+1)*C).
 
     Level 0 is x itself; level 1 is blur(x); deeper levels are built by
     avg-pool downsampling, blurring and bilinear re-upsampling — mirroring
-    compressai ScaleSpaceFlow.gaussian_volume. The depth axis sits NEXT TO
-    the channels (not leading) so warp_volume's [B, H, W, D*C] 2-D sample
-    layout is a free reshape instead of a full-volume transpose (an
-    18-channel full-res relayout per frame at 1080p).
+    compressai ScaleSpaceFlow.gaussian_volume. The stack is a channel
+    CONCAT, not a 5-D [B, H, W, D, C] tensor: XLA tiles the last two dims
+    to (8, 128), so a 5-D volume's (D=6, C=3) trailing dims pad 6->8 and
+    3->128 — a ~50x physical blowup that made every producer/consumer
+    reshape a multi-ms HBM pass at 1080p (xprof, round 5).
     """
     levels = [x]
     cur = gaussian_blur(x, sigma0)
@@ -426,7 +428,7 @@ def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
         for _ in range(i):
             interp = bilinear_upsample_x2(interp)
         levels.append(interp)
-    return jnp.stack(levels, axis=3)
+    return jnp.concatenate(levels, axis=-1)
 
 
 def _xla_pixel_warp(img: jax.Array, flow_px: jax.Array) -> jax.Array:
@@ -460,33 +462,43 @@ def _pixel_warp_dispatch(img, flow_px, *, exact: bool, r: int):
     return _xla_pixel_warp(img, flow_px)
 
 
-def warp_volume(volume: jax.Array, flow: jax.Array, scale_field: jax.Array) -> jax.Array:
+def warp_volume(
+    volume: jax.Array, flow: jax.Array, scale_field: jax.Array,
+    num_levels: int | None = None,
+) -> jax.Array:
     """Trilinear sample of the scale-space volume (compressai warp_volume).
 
-    volume: [B, H, W, D, C]; flow: [B, H, W, 2] in *normalized* units
+    volume: [B, H, W, D*C] flat channel stack from `gaussian_volume`
+    (D = num_levels + 1 depth levels, C = D*C // D colors; pass
+    ``num_levels`` when C != 3); flow: [B, H, W, 2] in *normalized* units
     (added directly to the affine base grid, align_corners=False);
     scale_field: [B, H, W, 1] normalized depth coordinate in [-1, 1].
 
     The xy sample of all D levels dispatches to the Pallas warp kernel on
-    TPU (depth levels fold into channels; unnormalizing the half-pixel-
+    TPU (depth levels ride as channels; unnormalizing the half-pixel-
     centred affine grid gives source = output + flow*size/2 exactly, the
     kernel's pixel mode) — the SSF family's hottest eval op would otherwise
     hit XLA's per-element gathers. exact_warp() forces the gather path.
+    The depth lerp is a slice-sum over level channel groups (elementwise,
+    fuses) — an einsum over a 5-D [B,H,W,D,C] view pays the (8,128)
+    trailing-dim tile padding, ~50x physical blowup at C=3.
     """
-    B, H, W, D, C = volume.shape
-    # 2D bilinear sample of every depth level with the shared xy grid
-    # (free reshape — the volume is built depth-next-to-channels).
-    vol2d = volume.reshape(B, H, W, D * C)
+    B, H, W, DC = volume.shape
+    D = (num_levels + 1) if num_levels is not None else 6
+    C = DC // D
     flow_px = flow.astype(jnp.float32) * jnp.asarray(
         [W / 2.0, H / 2.0], jnp.float32
     )
     sampled = _pixel_warp_dispatch(
-        vol2d, flow_px, exact=_FORCE_EXACT_WARP, r=PALLAS_WARP_MAX_DISPLACEMENT
-    ).reshape(B, H, W, D, C)
+        volume, flow_px, exact=_FORCE_EXACT_WARP, r=PALLAS_WARP_MAX_DISPLACEMENT
+    )
 
     # depth coordinate: unnormalize with align_corners=False, border clamp
-    z = ((scale_field[..., 0] + 1.0) * D - 1.0) * 0.5
+    z = ((scale_field + 1.0) * D - 1.0) * 0.5  # [B,H,W,1]
     z = jnp.clip(z, 0.0, D - 1)
-    lv = jnp.arange(D, dtype=z.dtype)
-    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(z[..., None] - lv))  # [B,H,W,D]
-    return jnp.einsum("bhwd,bhwdc->bhwc", wgt.astype(volume.dtype), sampled)
+    out = None
+    for d in range(D):
+        wd = jnp.maximum(0.0, 1.0 - jnp.abs(z - d)).astype(volume.dtype)
+        term = wd * sampled[..., d * C:(d + 1) * C]
+        out = term if out is None else out + term
+    return out
