@@ -189,6 +189,21 @@ def _m_flow_predictor(m, x):
     return m.flow_predictor(x)
 
 
+def _pipe_fold_gop(m, gop):
+    """pipeline_s2d boundary for the SSF-family coder paths: fold the GOP
+    into the s2d domain once; every component call then exchanges s2d
+    tensors (the same contract the GOP engine uses)."""
+    if getattr(m, "pipeline_s2d", False):
+        return jax.vmap(lambda f: space_to_depth(f, m.s2d))(gop)
+    return gop
+
+
+def _pipe_unfold_recon(m, recon):
+    if getattr(m, "pipeline_s2d", False):
+        return jax.vmap(lambda f: depth_to_space(f, m.s2d))(recon)
+    return recon
+
+
 def _m_backup_img_decoder(m, y):
     return m.backup_img_decoder(y)
 
@@ -503,6 +518,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     from fastvideocodec_tpu.coder import AsyncCoder
 
     m = spec.module
+    gop = _pipe_fold_gop(m, gop)
     coder = AsyncCoder(workers=2)
     img_hp = HyperpriorCoder(spec, params, "img_hyperprior", coder=coder)
     mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", coder=coder)
@@ -540,7 +556,7 @@ def ssf_compress_gop(spec: CodecSpec, params, gop: jax.Array):
               + len(s["residual"]["z"]) + len(s["residual"]["y"])
               for s in inter_streams)
     )
-    return streams, jnp.stack(frames), bits
+    return streams, _pipe_unfold_recon(m, jnp.stack(frames)), bits
 
 
 @_exact_warp_semantics
@@ -560,7 +576,7 @@ def ssf_decompress_gop(spec: CodecSpec, params, streams: dict):
         y_res_hat, _ = res_hp.decompress(s["residual"], s["y_res_shape"])
         x_ref = x_pred + _apply(spec, params, _m_res_decoder, jnp.concatenate([y_res_hat, y_mot_hat], axis=-1))
         frames.append(x_ref)
-    return jnp.stack(frames)
+    return _pipe_unfold_recon(m, jnp.stack(frames))
 
 
 # ---------------------------------------------------------------------------
@@ -582,6 +598,7 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
     sp1 = m.super_prec and m.sp_stage >= 1
     sp2 = m.super_prec and m.sp_stage >= 2
     coder = AsyncCoder(workers=2)
+    gop = _pipe_fold_gop(m, gop)
     img_hp = HyperpriorCoder(spec, params, "img_hyperprior", coder=coder)
     mot_hp = HyperpriorCoder(spec, params, "motion_hyperprior", sp=sp1, coder=coder)
     res_hp = HyperpriorCoder(spec, params, "res_hyperprior", sp=sp2, coder=coder)
@@ -631,7 +648,7 @@ def elfvc_compress_gop(spec: CodecSpec, params, gop: jax.Array):
               + len(s["residual"]["z"]) + len(s["residual"]["y"])
               for s in inter_streams)
     )
-    return streams, jnp.stack(frames), bits
+    return streams, _pipe_unfold_recon(m, jnp.stack(frames)), bits
 
 
 @_exact_warp_semantics
@@ -664,7 +681,7 @@ def elfvc_decompress_gop(spec: CodecSpec, params, streams: dict):
         state = state._replace(x_ref_ref=x_ref, motion_info_prior=motion_info)
         x_ref = x_rec
         frames.append(x_ref)
-    return jnp.stack(frames)
+    return _pipe_unfold_recon(m, jnp.stack(frames))
 
 
 # ---------------------------------------------------------------------------

@@ -73,11 +73,30 @@ def rlvc_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
     return x_hat, metrics
 
 
+def _pipe_fold(module, frames):
+    """pipeline_s2d boundary: fold [T, B, H, W, 3] into the s2d domain
+    once per GOP (the per-frame pipeline never touches full res)."""
+    from fastvideocodec_tpu.ops import space_to_depth
+
+    return jax.vmap(lambda f: space_to_depth(f, module.s2d))(frames)
+
+
+def _pipe_unfold(module, x_hat):
+    from fastvideocodec_tpu.ops import depth_to_space
+
+    return jax.vmap(lambda f: depth_to_space(f, module.s2d))(x_hat)
+
+
 def ssf_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
     """SSF-Official / MCVC-Original: plain forward_inter chain
-    (models.py:260-309)."""
+    (models.py:260-309). pipeline_s2d configs run the whole chain in the
+    s2d domain (MSE/bpp are permutation-invariant; the recon stack
+    unfolds once at the end)."""
     module = spec.module
     frames = gop[:, None] if gop.ndim == 4 else gop
+    pipe = getattr(module, "pipeline_s2d", False)
+    if pipe:
+        frames = _pipe_fold(module, frames)
     T = frames.shape[0]
     rngs = jax.random.split(rng, T - 1) if rng is not None else jnp.zeros((T - 1, 2), jnp.uint32)
 
@@ -92,6 +111,8 @@ def ssf_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
         return jax.lax.stop_gradient(x_rec), (x_rec, metrics)
 
     _, (x_hat, metrics) = jax.lax.scan(step, frames[0], (frames[1:], rngs))
+    if pipe:
+        x_hat = _pipe_unfold(module, x_hat)
     return x_hat, metrics
 
 
@@ -102,8 +123,10 @@ def _bits(lik):
 
 
 def _ssf_metrics(x_cur, x_rec, lik):
-    B, H, W = x_cur.shape[0], x_cur.shape[1], x_cur.shape[2]
-    denom = B * H * W
+    B, H, W, C = x_cur.shape
+    # bpp is per FULL-RES pixel: in the s2d pipeline the carried tensor
+    # is [B, H/2, W/2, 12], so the pixel count is B*H*W*(C/3)
+    denom = B * H * W * (C // 3)
     mot = _bits(lik["motion"]["y"]) + _bits(lik["motion"]["z"])
     res = _bits(lik["residual"]["y"]) + _bits(lik["residual"]["z"])
     mse = jnp.mean((x_rec - x_cur) ** 2)
@@ -120,8 +143,11 @@ def elfvc_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
     reset per GOP (models.py:264-265, 2020-2024)."""
     module = spec.module
     frames = gop[:, None] if gop.ndim == 4 else gop
+    pipe = getattr(module, "pipeline_s2d", False)
+    if pipe:
+        frames = _pipe_fold(module, frames)
     T, B, H, W, _ = frames.shape
-    state = module.init_state(B, H, W)
+    state = module.init_state(B, H, W)  # carried dims (s2d dims when pipe)
     rngs = jax.random.split(rng, T - 1) if rng is not None else jnp.zeros((T - 1, 2), jnp.uint32)
 
     def step(carry, inp):
@@ -143,6 +169,8 @@ def elfvc_gop(spec: CodecSpec, params, gop, training: bool, rng=None):
         return (jax.lax.stop_gradient(x_rec), state), (x_rec, metrics)
 
     (_, _), (x_hat, metrics) = jax.lax.scan(step, (frames[0], state), (frames[1:], rngs))
+    if pipe:
+        x_hat = _pipe_unfold(module, x_hat)
     return x_hat, metrics
 
 

@@ -310,6 +310,12 @@ class SSFEncoder(nn.Module):
     mid_planes: int = 128
     out_planes: int = 192
     s2d: int = 1
+    # pipeline-s2d mode: the caller already carries the frame in s2d form
+    # (4x the channels at /2 res), so the internal fold is skipped — the
+    # conv weight shapes are identical either way (only the channel
+    # ORDER differs: phase-blocked cat(s2d(a), s2d(b)) vs s2d(cat(a, b))
+    # interleaving; a fresh training run absorbs the permutation)
+    input_s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -318,7 +324,8 @@ class SSFEncoder(nn.Module):
 
         m = self.mid_planes
         if self.s2d > 1:
-            x = space_to_depth(x, self.s2d)
+            if not self.input_s2d:
+                x = space_to_depth(x, self.s2d)
             x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
             x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
             return _conv(self.out_planes, 5, 2, self.dtype)(x)
@@ -343,6 +350,10 @@ class SSFDecoder(nn.Module):
     mid_planes: int = 128
     out_planes: int = 3
     s2d: int = 1
+    # pipeline-s2d mode: return the pre-d2s tensor [H/2, W/2, f*f*out]
+    # (phase channel order (ry, rx, c)) — the caller stays in the s2d
+    # domain; weight shapes are unchanged
+    output_s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -360,6 +371,8 @@ class SSFDecoder(nn.Module):
             # where SSF's decoders earn their rate)
             x = _deconv(4 * m // 8, 5, 2, self.dtype, act=jax.nn.relu)(x)
             y = _conv(f * f * self.out_planes, 3, 1, self.dtype)(x)
+            if self.output_s2d:
+                return y
             return depth_to_space(y, f)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
         x = _deconv(m, 5, 2, self.dtype, act=jax.nn.relu)(x)
@@ -427,6 +440,17 @@ class FlowPredictor(nn.Module):
     mid_planes: int = 128
     out_planes: int = 3
     s2d: int = 1
+    # pipeline-s2d mode (see SSFEncoder/SSFDecoder): consume the already
+    # s2d-folded context and emit the pre-d2s motion field
+    input_s2d: bool = False
+    output_s2d: bool = False
+    # quarter-res trunk: fold ONCE MORE inside, run the stride-1 trunk at
+    # /4 of full res (4x fewer MACs — the /2 trunk's three 128-wide 5x5
+    # convs cost ~13 ms/frame at 1080p, the whole ELFVC-TPU speed gap vs
+    # target), and emit the /2 motion field through a polyphase output
+    # conv. RD priced at the tiny golden rung like every '-TPU' operator
+    # change.
+    quarter_trunk: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -435,12 +459,25 @@ class FlowPredictor(nn.Module):
 
         m = self.mid_planes
         if self.s2d > 1:
-            x = space_to_depth(x, self.s2d)
-            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
-            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
-            x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+            if not self.input_s2d:
+                x = space_to_depth(x, self.s2d)
             f = self.s2d
-            y = _conv(f * f * self.out_planes, 5, 1, self.dtype)(x)
+            if self.quarter_trunk:
+                # stride-2 stem (a strided conv beats an explicit s2d
+                # fold: no relayout pass) -> /4-res trunk -> polyphase
+                # output back to the /2 motion grid
+                x = jax.nn.relu(_conv(m, 5, 2, self.dtype)(x))
+                x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+                x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+                y = _conv(4 * f * f * self.out_planes, 5, 1, self.dtype)(x)
+                y = depth_to_space(y, 2)  # -> [H/2, W/2, f*f*out]
+            else:
+                x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+                x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+                x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
+                y = _conv(f * f * self.out_planes, 5, 1, self.dtype)(x)
+            if self.output_s2d:
+                return y
             return depth_to_space(y, f)
         x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))
         x = jax.nn.relu(_conv(m, 5, 1, self.dtype)(x))

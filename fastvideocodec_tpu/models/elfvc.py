@@ -46,20 +46,30 @@ class ELFVC(nn.Module):
     sp_dim: int = 64
     s2d: int = 1  # 2: TPU-native s2d transforms + s2d FlowPredictor
     # ('ELFVC-TPU'/'ELFVC-SP-TPU'); scale-space warp stays full-res
+    # pipeline_s2d: whole-pipeline s2d domain + pyramid scale-space warp
+    # (see ScaleSpaceFlow.pipeline_s2d); the temporal state carries s2d
+    # tensors
+    pipeline_s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         dt = self.dtype
         mp, pl = self.mid_planes, self.planes
         sd = self.s2d
-        self.img_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
-        self.img_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
+        pipe = self.pipeline_s2d
+        self.img_encoder = SSFEncoder(mp, pl, s2d=sd, input_s2d=pipe, dtype=dt)
+        self.img_decoder = SSFDecoder(mp, out_planes=3, s2d=sd,
+                                      output_s2d=pipe, dtype=dt)
         self.img_hyperprior = SSFHyperprior(planes=pl, mid_planes=pl, dtype=dt)
-        self.flow_predictor = FlowPredictor(mid_planes=mp, s2d=sd, dtype=dt)
-        self.motion_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
-        self.motion_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
-        self.res_encoder = SSFEncoder(mp, pl, s2d=sd, dtype=dt)
-        self.res_decoder = SSFDecoder(mp, out_planes=3, s2d=sd, dtype=dt)
+        self.flow_predictor = FlowPredictor(mid_planes=mp, s2d=sd,
+                                            input_s2d=pipe, output_s2d=pipe,
+                                            quarter_trunk=pipe, dtype=dt)
+        self.motion_encoder = SSFEncoder(mp, pl, s2d=sd, input_s2d=pipe, dtype=dt)
+        self.motion_decoder = SSFDecoder(mp, out_planes=3, s2d=sd,
+                                         output_s2d=pipe, dtype=dt)
+        self.res_encoder = SSFEncoder(mp, pl, s2d=sd, input_s2d=pipe, dtype=dt)
+        self.res_decoder = SSFDecoder(mp, out_planes=3, s2d=sd,
+                                      output_s2d=pipe, dtype=dt)
         self.motion_hyperprior = SSFHyperprior(
             planes=pl, mid_planes=pl, super_prec=self.super_prec,
             sp=self.sp_stage >= 1, sp_dim=self.sp_dim, dtype=dt,
@@ -75,9 +85,17 @@ class ELFVC(nn.Module):
     forward_keyframe = ScaleSpaceFlow.forward_keyframe
 
     def __call__(self, frames, training: bool = False, rng=None):
-        """Convenience/init path over [T, B, H, W, 3] (creates all params)."""
-        T, B, H, W, _ = frames.shape
+        """Convenience/init path over [T, B, H, W, 3] (creates all params).
+
+        pipeline_s2d folds/unfolds once at the GOP boundary (see
+        ScaleSpaceFlow.__call__)."""
+        from fastvideocodec_tpu.ops.warp import depth_to_space, space_to_depth
+
+        T = frames.shape[0]
         rngs = jax.random.split(rng, T) if rng is not None else [None] * T
+        if self.pipeline_s2d:
+            frames = jax.vmap(lambda f: space_to_depth(f, self.s2d))(frames)
+        _, B, H, W, _ = frames.shape
         x_ref, lik0 = self.forward_keyframe(frames[0], training=training, rng=rngs[0])
         state = self.init_state(B, H, W)
         recons, liks = [x_ref], [lik0]
@@ -88,11 +106,27 @@ class ELFVC(nn.Module):
             )
             recons.append(x_ref)
             liks.append(lik)
-        return jnp.stack(recons), liks
+        out = jnp.stack(recons)
+        if self.pipeline_s2d:
+            out = jax.vmap(lambda f: depth_to_space(f, self.s2d))(out)
+        return out, liks
 
     def init_state(self, batch: int, height: int, width: int) -> ElfvcState:
+        """(height, width) are the spatial dims of the tensors AS CARRIED:
+        full-res in plain mode, the s2d dims (H/2, W/2) in pipeline_s2d
+        mode — callers pass x_ref.shape, which is already the right one.
+        The latent grid sits at /16 of FULL resolution either way."""
         p = self.planes
         z = lambda *s: jnp.zeros(s, dtype=self.dtype)
+        if self.pipeline_s2d:
+            c = 3 * self.s2d * self.s2d
+            lat = 16 // self.s2d
+            return ElfvcState(
+                x_ref_ref=z(batch, height, width, c),
+                motion_info_prior=z(batch, height, width, c),
+                q_y_prior_motion=z(batch, height // lat, width // lat, p),
+                q_y_prior_res=z(batch, height // lat, width // lat, p),
+            )
         return ElfvcState(
             x_ref_ref=z(batch, height, width, 3),
             motion_info_prior=z(batch, height, width, 3),

@@ -224,18 +224,28 @@ def get_codec_model(
     elif name.startswith("SSF") and "-TINY" in name:
         # miniature SSF for golden-RD tests / fast experiments (this
         # framework's own; ships trained weights in assets/).
-        # 'SSF-TPU-TINY': the s2d-transform variant at miniature scale
+        # 'SSF-TPU-TINY': the s2d-pipeline variant at miniature scale
         # (the Vesper-speed head-to-head rung).
+        tpu = "-TPU" in name
         module = ScaleSpaceFlow(mid_planes=32, planes=48,
-                                s2d=2 if "-TPU" in name else 1, dtype=dtype)
+                                s2d=2 if tpu else 1, pipeline_s2d=tpu,
+                                dtype=dtype)
         family = "ssf"
     elif name in ("SSF-Official", "SSF-TPU"):
         # 'SSF-TPU' (this framework's own variant, no reference
-        # counterpart): s2d codec transforms + polyphase decoders; the
-        # scale-space volume warp stays at full resolution.
-        module = ScaleSpaceFlow(s2d=2 if name == "SSF-TPU" else 1, dtype=dtype)
+        # counterpart): the whole inter pipeline runs in the s2d domain
+        # (no full-res 3-channel tensor at any component boundary) and
+        # the scale-space prediction is the pyramid warp — full-res
+        # level-0 sample through the kernel's fused s2d relayouts,
+        # blurred levels built AND sampled at /2
+        # (ops.warp_volume_pyramid_s2d; RD priced at the tiny golden
+        # rung, tests/test_rd.py).
+        tpu = name == "SSF-TPU"
+        module = ScaleSpaceFlow(s2d=2 if tpu else 1, pipeline_s2d=tpu,
+                                dtype=dtype)
         family = "ssf"
     elif name.startswith("ELFVC"):
+        tpu = "-TPU" in name
         if "-TINY" in name:
             # miniature config for golden-RD tests / fast experiments (this
             # framework's own; ships staged-trained weights in assets/)
@@ -245,12 +255,14 @@ def get_codec_model(
                 planes=48,
                 mid_planes=32,
                 sp_dim=16,
-                s2d=2 if "-TPU" in name else 1,
+                s2d=2 if tpu else 1,
+                pipeline_s2d=tpu,
                 dtype=dtype,
             )
         else:
             module = ELFVC(super_prec="-SP" in name, sp_stage=sp_stage,
-                           s2d=2 if "-TPU" in name else 1, dtype=dtype)
+                           s2d=2 if tpu else 1, pipeline_s2d=tpu,
+                           dtype=dtype)
         family = "elfvc"
     elif name == "MCVC-Original":
         module = ScaleSpaceFlow(dtype=dtype)

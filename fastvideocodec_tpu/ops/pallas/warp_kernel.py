@@ -305,7 +305,7 @@ RESIDUAL_R = 12  # v5 residual vertical half-window (rows around tile mean)
 
 def _pallas_warp(
     img: jax.Array, flow: jax.Array, R: int, interpret: bool = False,
-    pixel_mode: bool = False, s2d_io: bool = False,
+    pixel_mode: bool = False, s2d_io: bool = False, flow_s2d: bool = False,
 ) -> jax.Array:
     if s2d_io:
         # img is the SPACE-TO-DEPTH form [B, H/2, W/2, 4C] of the [B, H,
@@ -338,11 +338,17 @@ def _pallas_warp(
     # channel-planar padded source: [B, C, H + Hh - th, W + Wh - TILE_W]
     if s2d_io:
         # fused d2s + planarize: s2d channels are ordered (ry, rx, c)
-        # (ops.warp.space_to_depth), so one transpose lands channel-planar
-        # full resolution directly
+        # (ops.warp.space_to_depth). Route through a DENSE channel-planar
+        # intermediate: the single-transpose formulation
+        # reshape(B,H2,W2,2,2,C)->transpose->reshape made XLA materialize
+        # the 5-D view, whose trailing (2, C) dims tile-pad to (8, 128) —
+        # a 4 ms copy+reshape pair at 1080p (round-5 HLO/xprof). Step 1
+        # lands [B, 4C, H2, W2] (spatial trailing dims: unpadded); step 2
+        # interleaves phases from the dense form.
         planar = (
-            img.reshape(B, H2, W2, 2, 2, C)
-            .transpose(0, 5, 1, 3, 2, 4)
+            img.transpose(0, 3, 1, 2)
+            .reshape(B, 2, 2, C, H2, W2)
+            .transpose(0, 3, 4, 1, 5, 2)
             .reshape(B, C, H, W)
         )
     else:
@@ -353,11 +359,26 @@ def _pallas_warp(
         mode="edge",
     )
     # pre-tiled flow, lane-major: [B, nI, nJ, 2, P]
-    flow_t = (
-        flow.reshape(B, nI, th, nJ, TILE_W, 2)
-        .transpose(0, 1, 3, 5, 2, 4)
-        .reshape(B, nI, nJ, 2, p)
-    )
+    if flow_s2d:
+        # flow arrives in s2d phase form [B, H/2, W/2, 8] in C-MAJOR
+        # order (channels [fx_p0..p3, fy_p0..p3], p = ry*2 + rx) — the
+        # s2d-pipeline codecs' motion decoders emit phases, and
+        # materializing the full-res [B,H,W,2] intermediate costs a ~4 ms
+        # lane-padded relayout at 1080p (round-5 measurement); this
+        # transpose lands the tile layout in one copy from the
+        # channel-rich form instead.
+        th2, TW2 = th // 2, TILE_W // 2
+        flow_t = (
+            flow.reshape(B, nI, th2, nJ, TW2, 2, 2, 2)
+            .transpose(0, 1, 3, 5, 2, 6, 4, 7)
+            .reshape(B, nI, nJ, 2, p)
+        )
+    else:
+        flow_t = (
+            flow.reshape(B, nI, th, nJ, TILE_W, 2)
+            .transpose(0, 1, 3, 5, 2, 4)
+            .reshape(B, nI, nJ, 2, p)
+        )
 
     if offset_mode:
         # Per-tile vertical offsets, derived from the PRE-TILED flow so the
@@ -579,3 +600,105 @@ def _ppw_bwd(max_displacement, res, g):
 
 
 pallas_pixel_warp.defvjp(_ppw_fwd, _ppw_bwd)
+
+
+def _exact_pixel_fullres_s2d(img_s2d: jax.Array, flow_px: jax.Array) -> jax.Array:
+    from fastvideocodec_tpu.ops.warp import (
+        _xla_pixel_warp,
+        depth_to_space,
+        space_to_depth,
+    )
+
+    return space_to_depth(
+        _xla_pixel_warp(depth_to_space(img_s2d, 2), flow_px), 2
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_pixel_warp_s2d(img_s2d: jax.Array, flow_px: jax.Array,
+                          max_displacement: int = 56):
+    """Full-resolution pixel-displacement warp consuming AND producing
+    space-to-depth tensors: img_s2d [B, H/2, W/2, 4C], flow_px [B, H, W, 2]
+    direct pixel displacements (source = output + flow).
+
+    Value-identical to space_to_depth(pallas_pixel_warp(depth_to_space(
+    img_s2d, 2), flow_px), 2); the layout round trips fuse into the
+    kernel's planarize/untile relayouts (s2d_io mode). The pyramid
+    scale-space warp's level-0 sample (ops.warp.warp_volume_pyramid_s2d)
+    is the production call site."""
+    B, H2, W2, C4 = img_s2d.shape
+    full_shape = (B, 2 * H2, 2 * W2, C4 // 4)
+    if C4 % 4 or not _supported(full_shape, max_displacement):
+        return _exact_pixel_fullres_s2d(img_s2d, flow_px)
+    return _pallas_warp(img_s2d, flow_px, max_displacement,
+                        pixel_mode=True, s2d_io=True)
+
+
+def _ppws_fwd(img_s2d, flow_px, max_displacement):
+    return (pallas_pixel_warp_s2d(img_s2d, flow_px, max_displacement),
+            (img_s2d, flow_px))
+
+
+def _ppws_bwd(max_displacement, res, g):
+    img_s2d, flow_px = res
+    _, vjp = jax.vjp(_exact_pixel_fullres_s2d, img_s2d, flow_px)
+    return vjp(g)
+
+
+pallas_pixel_warp_s2d.defvjp(_ppws_fwd, _ppws_bwd)
+
+
+def _exact_pixel_s2d_sflow(img_s2d: jax.Array, flow_s2d: jax.Array) -> jax.Array:
+    from fastvideocodec_tpu.ops.warp import (
+        _xla_pixel_warp,
+        depth_to_space,
+        space_to_depth,
+    )
+
+    # flow_s2d is c-major ([fx x4 phases, fy x4]); each 4-channel block is
+    # a (ry, rx) phase set of one scalar field, so per-block d2s unpacks it
+    flow_full = jnp.concatenate(
+        [
+            depth_to_space(flow_s2d[..., 0:4], 2),
+            depth_to_space(flow_s2d[..., 4:8], 2),
+        ],
+        axis=-1,
+    )
+    return space_to_depth(
+        _xla_pixel_warp(depth_to_space(img_s2d, 2), flow_full), 2
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_pixel_warp_s2d_sflow(img_s2d: jax.Array, flow_s2d: jax.Array,
+                                max_displacement: int = 56):
+    """pallas_pixel_warp_s2d with the FLOW also in s2d phase form:
+    flow_s2d [B, H/2, W/2, 8] (channel order (ry, rx, c), c = (fx, fy),
+    direct pixel displacements). Value-identical to feeding
+    depth_to_space(flow_s2d, 2) to pallas_pixel_warp_s2d — but the
+    full-resolution 2-channel flow tensor (whose lane padding makes it a
+    ~4 ms relayout at 1080p) never materializes: the kernel pre-tiles the
+    phase form directly."""
+    B, H2, W2, C4 = img_s2d.shape
+    full_shape = (B, 2 * H2, 2 * W2, C4 // 4)
+    th = _tile_h(2 * H2, 2 * W2, C4 // 4, max_displacement,
+                 img_s2d.dtype.itemsize)
+    if (C4 % 4 or flow_s2d.shape[-1] != 8 or th % 2
+            or not _supported(full_shape, max_displacement)):
+        return _exact_pixel_s2d_sflow(img_s2d, flow_s2d)
+    return _pallas_warp(img_s2d, flow_s2d, max_displacement,
+                        pixel_mode=True, s2d_io=True, flow_s2d=True)
+
+
+def _ppwss_fwd(img_s2d, flow_s2d, max_displacement):
+    return (pallas_pixel_warp_s2d_sflow(img_s2d, flow_s2d, max_displacement),
+            (img_s2d, flow_s2d))
+
+
+def _ppwss_bwd(max_displacement, res, g):
+    img_s2d, flow_s2d = res
+    _, vjp = jax.vjp(_exact_pixel_s2d_sflow, img_s2d, flow_s2d)
+    return vjp(g)
+
+
+pallas_pixel_warp_s2d_sflow.defvjp(_ppwss_fwd, _ppwss_bwd)

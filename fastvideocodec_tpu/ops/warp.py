@@ -502,3 +502,215 @@ def warp_volume(
         term = wd * sampled[..., d * C:(d + 1) * C]
         out = term if out is None else out + term
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "r"))
+def _pixel_warp_s2d_dispatch(img_s2d, flow_px, *, exact: bool, r: int):
+    if not exact and jax.default_backend() == "tpu":
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+            pallas_pixel_warp_s2d,
+        )
+
+        return pallas_pixel_warp_s2d(img_s2d, flow_px, r)
+    return space_to_depth(
+        _xla_pixel_warp(depth_to_space(img_s2d, 2), flow_px), 2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "r"))
+def _pixel_warp_s2d_sflow_dispatch(img_s2d, flow_s2d, *, exact: bool, r: int):
+    """img AND flow in s2d phase form (flow_s2d [B, H/2, W/2, 8] in
+    c-major phase order [fx x4, fy x4], direct pixel displacements) —
+    the full-res 2-channel flow tensor never materializes on the kernel
+    path."""
+    if not exact and jax.default_backend() == "tpu":
+        from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+            pallas_pixel_warp_s2d_sflow,
+        )
+
+        return pallas_pixel_warp_s2d_sflow(img_s2d, flow_s2d, r)
+    from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+        _exact_pixel_s2d_sflow,
+    )
+
+    return _exact_pixel_s2d_sflow(img_s2d, flow_s2d)
+
+
+def s2d_phase_mean(x_s2d: jax.Array, channels: int) -> jax.Array:
+    """Mean over the four s2d phases: [B, H/2, W/2, 4C] -> [B, H/2, W/2, C].
+
+    Equals avg_pool2 of the full-resolution image (the s2d channel order
+    is (ry, rx, c), so phase p occupies channels p*C..(p+1)*C). Pure
+    slice-sum — no 5-D reshape (trailing-dim tile padding, see
+    gaussian_volume)."""
+    C = channels
+    return (
+        x_s2d[..., 0 * C:1 * C] + x_s2d[..., 1 * C:2 * C]
+        + x_s2d[..., 2 * C:3 * C] + x_s2d[..., 3 * C:4 * C]
+    ) * jnp.asarray(0.25, x_s2d.dtype)
+
+
+def up2_to_s2d(x: jax.Array) -> jax.Array:
+    """bilinear_upsample_x2 emitted directly in space-to-depth form:
+    [B, H, W, C] -> [B, H, W, 4C] whose d2s equals the full-res upsample.
+
+    The x2 align_corners=False taps are periodic (even out = 0.25*prev +
+    0.75*self, odd = 0.75*self + 0.25*next, edges clamped), so each of
+    the four output phases is one shifted lerp — elementwise, fuses, and
+    never materializes a full-resolution thin-channel tensor."""
+
+    def taps(v, axis):
+        n = v.shape[axis]
+        prev = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, n, axis=axis),
+             jax.lax.slice_in_dim(v, n - 1, n, axis=axis)], axis)
+        q1, q3 = jnp.asarray(0.25, v.dtype), jnp.asarray(0.75, v.dtype)
+        return q1 * prev + q3 * v, q3 * v + q1 * nxt
+
+    even_h, odd_h = taps(x, 1)
+    ph = []
+    for vh in (even_h, odd_h):          # ry = 0, 1
+        even_w, odd_w = taps(vh, 2)
+        ph.extend([even_w, odd_w])      # rx = 0, 1
+    return jnp.concatenate(ph, axis=-1)  # (ry, rx, c) order
+
+
+def gaussian_volume_pyramid(x: jax.Array, sigma0: float, num_levels: int):
+    """Pyramid scale-space volume: (level0, vol_half) where level0 = x
+    [B, H, W, C] and vol_half [B, H/2, W/2, (D-1)*C] is the flat
+    gaussian_volume of the pooled frame (D = num_levels + 1).
+
+    The TPU-native replacement for the full-resolution volume: the
+    blurred levels 1..D-1 carry no content above the half-res Nyquist
+    worth a full-res sample lattice, so they are built AND sampled at /2
+    — the warp then blends one full-res level-0 sample with one upsampled
+    half-res blurred sample (warp_volume_pyramid). An operator change vs
+    compressai gaussian_volume (levels re-centred: pyramid level d >= 1
+    ~ stock level d+~0.5), priced by retraining at the tiny golden rung
+    (tests/test_rd.py TestGoldenRDSSFTPU)."""
+    return x, gaussian_volume(avg_pool2(x), sigma0, num_levels - 1)
+
+
+def _hat_blend(sampled: jax.Array, z: jax.Array, D: int, C: int) -> jax.Array:
+    """Depth hat-weight blend over a flat level stack (slice-sum)."""
+    out = None
+    for d in range(D):
+        wd = jnp.maximum(0.0, 1.0 - jnp.abs(z - d)).astype(sampled.dtype)
+        term = wd * sampled[..., d * C:(d + 1) * C]
+        out = term if out is None else out + term
+    return out
+
+
+def warp_volume_pyramid(
+    level0: jax.Array, vol_half: jax.Array, flow: jax.Array,
+    scale_field: jax.Array, num_levels: int,
+) -> jax.Array:
+    """Trilinear-style sample of the pyramid volume (full-res NHWC form).
+
+    flow: [B, H, W, 2] normalized (as warp_volume); scale_field:
+    [B, H, W, 1] in [-1, 1]. Depth z unnormalizes exactly like
+    warp_volume; z in [0, 1) lerps the full-res level-0 sample against
+    the upsampled half-res blurred sample, z >= 1 blends inside the
+    half-res stack."""
+    B, H, W, C = level0.shape
+    D = num_levels + 1
+    flow_px = flow.astype(jnp.float32) * jnp.asarray(
+        [W / 2.0, H / 2.0], jnp.float32
+    )
+    s0 = _pixel_warp_dispatch(
+        level0, flow_px, exact=_FORCE_EXACT_WARP,
+        r=PALLAS_WARP_MAX_DISPLACEMENT,
+    )
+    z = jnp.clip(((scale_field + 1.0) * D - 1.0) * 0.5, 0.0, D - 1)
+    flow_h = avg_pool2(flow_px) * 0.5
+    z_h = jnp.clip(avg_pool2(z), 1.0, D - 1.0) - 1.0
+    sampled_h = _pixel_warp_dispatch(
+        vol_half, flow_h, exact=_FORCE_EXACT_WARP,
+        r=PALLAS_WARP_MAX_DISPLACEMENT // 2,
+    )
+    th = _hat_blend(sampled_h, z_h, D - 1, C)
+    t = bilinear_upsample_x2(th)
+    a = jnp.maximum(0.0, 1.0 - z).astype(level0.dtype)
+    return a * s0 + (1.0 - a.astype(t.dtype)) * t
+
+
+def warp_volume_pyramid_s2d(
+    level0_s2d: jax.Array, vol_half: jax.Array, motion_s2d: jax.Array,
+    num_levels: int,
+) -> jax.Array:
+    """Pyramid scale-space warp with every tensor in the s2d domain — the
+    '-TPU' SSF family's production prediction op (no full-resolution
+    thin-channel tensor exists anywhere in it except the kernel's own
+    [B, H, W, 2] flow input, which its relayouts consume once).
+
+    level0_s2d: [B, H/2, W/2, 4C] s2d form of the reference frame;
+    vol_half: [B, H/2, W/2, (D-1)*C] flat half-res blurred stack;
+    motion_s2d: [B, H/2, W/2, 12] motion field in C-MAJOR phase order:
+    channels [fx_p0..p3, fy_p0..p3, scale_p0..p3] where p = ry*2 + rx is
+    the full-res phase. (The (ry, rx, c)-interleaved d2s order would need
+    four 1-2-channel slices here, each a lane-padded [B, H/2, W/2, <=2]
+    materialization — 6.5 ms of pure padding writes at 1080p, round-5
+    xprof. The decoder's final conv LEARNS whichever order its consumer
+    reads, so the pipeline simply defines c-major as its contract; only
+    the warp reads it.) Returns the warped prediction in s2d form
+    [B, H/2, W/2, 4C]."""
+    B, H2, W2, C4 = level0_s2d.shape
+    C = C4 // 4
+    H, W = 2 * H2, 2 * W2
+    D = num_levels + 1
+    dt = level0_s2d.dtype
+    scl8 = jnp.asarray([W / 2.0] * 4 + [H / 2.0] * 4, jnp.float32)
+
+    # Layout discipline (round-5 xprof lesson): every channel MIX below is
+    # a 1x1 matmul (einsum over the lane dim — MXU/VPU native); per-lane
+    # slice-reduce / slice-broadcast formulations of the same math made
+    # XLA emit lane->spatial transpose loops costing 8-16 ms each at
+    # 1080p. Elementwise ops all stay on lane-form [B, H/2, W/2, K]
+    # tensors.
+
+    # flow for the level-0 sample, kept in s2d PHASE form end to end
+    # (one contiguous 8-channel slice; the kernel pre-tiles phases
+    # directly — a full-res [B, H, W, 2] intermediate is a ~4 ms
+    # lane-padded relayout at 1080p)
+    flow_s2d = motion_s2d[..., :8].astype(jnp.float32) * scl8
+    s0 = _pixel_warp_s2d_sflow_dispatch(
+        level0_s2d, flow_s2d, exact=_FORCE_EXACT_WARP,
+        r=PALLAS_WARP_MAX_DISPLACEMENT,
+    )
+
+    # half-res coords: [fx_h, fy_h, s_mean] via one phase-averaging matmul
+    mix_m = np.zeros((12, 3), np.float32)
+    mix_m[0:4, 0] = 0.25 * (W / 2.0) * 0.5   # fx phases -> half-res px
+    mix_m[4:8, 1] = 0.25 * (H / 2.0) * 0.5
+    mix_m[8:12, 2] = 0.25                     # scale phases -> mean
+    mix = jnp.einsum(
+        "bhwc,cd->bhwd", motion_s2d.astype(jnp.float32),
+        jnp.asarray(mix_m),
+    )
+    flow_h = mix[..., 0:2]
+    z_h = jnp.clip(((mix[..., 2:3] + 1.0) * D - 1.0) * 0.5, 1.0, D - 1.0) - 1.0
+
+    sampled_h = _pixel_warp_dispatch(
+        vol_half, flow_h, exact=_FORCE_EXACT_WARP,
+        r=PALLAS_WARP_MAX_DISPLACEMENT // 2,
+    )
+    # depth hat blend, lane-form: weights [B,H2,W2,D-1] -> replicate per
+    # color via kron matmul -> multiply -> sum level groups via matmul
+    lv = jnp.arange(D - 1, dtype=z_h.dtype)
+    wd = jnp.maximum(0.0, 1.0 - jnp.abs(z_h - lv))          # [B,H2,W2,D-1]
+    rep = jnp.asarray(np.kron(np.eye(D - 1), np.ones((1, C))), jnp.float32)
+    w_ext = jnp.einsum("bhwd,dc->bhwc", wd, rep).astype(dt)  # [.., (D-1)*C]
+    grp = jnp.asarray(np.kron(np.ones((D - 1, 1)), np.eye(C)), dt)
+    th = jnp.einsum("bhwc,cd->bhwd", w_ext * sampled_h, grp)  # [.., C]
+    t_s2d = up2_to_s2d(th)  # [B, H/2, W/2, 4C], (ry, rx, c) phase order
+
+    # per-phase level-0 weight a = max(0, 1 - z), replicated to (p, c)
+    # lanes via kron — matching s0/t_s2d's (ry, rx, c) channel order
+    zp = jnp.clip(((motion_s2d[..., 8:12] + 1.0) * D - 1.0) * 0.5, 0.0, D - 1)
+    a4 = jnp.maximum(0.0, 1.0 - zp)                          # [B,H2,W2,4]
+    rep4 = jnp.asarray(np.kron(np.eye(4), np.ones((1, C))), jnp.float32)
+    a12 = jnp.einsum("bhwd,dc->bhwc", a4, rep4).astype(dt)   # [.., 4C]
+    return a12 * s0 + (jnp.asarray(1.0, dt) - a12) * t_s2d

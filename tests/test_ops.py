@@ -222,6 +222,50 @@ class TestSSFVolume:
         # scale=-1 maps to z=-0.5 clamped to 0 -> level 0 == x
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
+    def test_pyramid_s2d_identity_and_blend(self):
+        """warp_volume_pyramid_s2d (the '-TPU' SSF prediction op): zero
+        flow + scale pinned to level 0 returns the reference exactly;
+        scale deep inside the blurred stack returns the upsampled
+        half-res blend (a == 0)."""
+        from fastvideocodec_tpu.ops.warp import (
+            gaussian_volume,
+            s2d_phase_mean,
+            up2_to_s2d,
+            warp_volume_pyramid_s2d,
+        )
+
+        ref = jnp.asarray(_rand(1, 8, 16, 12, seed=21))
+        h = s2d_phase_mean(ref, 3)
+        vol_half = gaussian_volume(h, 1.5, 4)
+        mot0 = jnp.zeros((1, 8, 16, 12)).at[..., 8:12].set(-1.0)
+        out0 = warp_volume_pyramid_s2d(ref, vol_half, mot0, 5)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(ref), atol=1e-5)
+        # scale at exactly level 1 of the half stack (z=2 -> z_h=1): the
+        # output is the upsampled pure level-1 sample
+        s_l1 = (2.0 * 2.0 + 1.0) / 6.0 - 1.0  # z=2 for D=6
+        mot1 = jnp.zeros((1, 8, 16, 12)).at[..., 8:12].set(s_l1)
+        out1 = warp_volume_pyramid_s2d(ref, vol_half, mot1, 5)
+        want1 = up2_to_s2d(vol_half[..., 3:6])
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(want1), atol=1e-5
+        )
+
+    def test_up2_to_s2d_matches_composition(self):
+        from fastvideocodec_tpu.ops.warp import up2_to_s2d
+
+        x = jnp.asarray(_rand(2, 5, 7, 3, seed=22))
+        got = up2_to_s2d(x)
+        want = ops.space_to_depth(ops.bilinear_upsample_x2(x), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_s2d_phase_mean_matches_avg_pool(self):
+        from fastvideocodec_tpu.ops.warp import s2d_phase_mean
+
+        x = jnp.asarray(_rand(1, 8, 12, 3, seed=23))
+        got = s2d_phase_mean(ops.space_to_depth(x, 2), 3)
+        want = ops.avg_pool2(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
 
 class TestSpaceToDepth:
     def test_roundtrip_and_mse_invariance(self):

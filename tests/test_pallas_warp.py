@@ -166,6 +166,24 @@ def test_s2d_io_matches_d2s_warp_s2d_roundtrip(shape, R):
     )
 
 
+def test_pixel_s2d_sflow_matches_exact_composition():
+    """The s2d-pipeline SSF warp's level-0 sample: img in s2d form AND
+    flow in c-major s2d phase form ([fx x4, fy x4]), pixel mode. Must
+    equal d2s -> exact pixel warp -> s2d with the phases unpacked."""
+    from fastvideocodec_tpu.ops.pallas.warp_kernel import (
+        _exact_pixel_s2d_sflow,
+    )
+
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    img_s2d = _rand(k1, (1, 8, 64, 12))
+    flow_cm = _rand(k2, (1, 8, 64, 8), -6.0, 6.0)
+    got = _pallas_warp(img_s2d, flow_cm, 8, interpret=True,
+                       pixel_mode=True, s2d_io=True, flow_s2d=True)
+    want = _exact_pixel_s2d_sflow(img_s2d, flow_cm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_pixel_mode_matches_xla_pixel_warp():
     """warp_volume's dispatch: direct pixel displacements (source = output
     + flow), depth levels folded into channels."""

@@ -65,9 +65,18 @@ FAMILIES = {
     "base": (lambda lvl: get_codec_model("Base-ER-TINY", compression_level=lvl),
              (0, 2, 4), 800, _tiny_gen),
     # SSF-TPU at miniature scale: the Vesper-speed variant's RD evidence
-    # (golden test compares it to the stock SSF-TINY curve)
+    # (golden test compares it to the stock SSF-TINY curve). Round 5:
+    # the s2d PIPELINE + pyramid-volume config — retrained whenever the
+    # prediction operator changes.
     "ssftpu": (lambda lvl: get_codec_model(
         "SSF-TPU-TINY", compression_level=lvl), (0, 2, 4), 800, _tiny_gen),
+    # ELFVC-SP-TPU at miniature scale (VERDICT r4 item 4): the
+    # s2d-pipeline Vesper variant, staged-trained like tiny_elfvc;
+    # golden test compares matched-rate quality vs the stock
+    # tiny_elfvc curve (lambdas 0/3/6 — the spread tiny_elfvc needed).
+    "elfvctpu": (lambda lvl: get_codec_model(
+        "ELFVC-SP-TPU-TINY", sp_stage=2, compression_level=lvl),
+        (0, 3, 6), 900, _tiny_gen),
     "mcvc": (lambda lvl: get_codec_model(
         "MCVC-IA-TINY", num_views=3, compression_level=lvl), (0, 3, 6), 1200,
         None),
@@ -261,6 +270,89 @@ def train_ssf(spec, steps: int, seed: int = 0, gen=synth_gop):
     return params
 
 
+def train_elfvc(spec, steps: int, seed: int = 0, gen=synth_gop):
+    """ELFVC-SP staged recipe (assets/TINY_RD.md tiny_elfvc; reference
+    optim_parameters-by-spstage, models.py:2026-2078): steps default-stage
+    Adam(1e-4) over all params (SP active), then steps//9 each of spstage
+    0/1/2 through make_elfvc_stage_optimizer's frozen-group masking. Loss
+    r*mse + bpp + ||pred_err||_2 + aux over the FULL __call__ chain."""
+    from fastvideocodec_tpu.train import make_elfvc_stage_optimizer
+
+    r = spec.r
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    gop0 = jnp.asarray(gen(rng))[:, None]
+    params = jax.jit(
+        lambda k, g: spec.module.init({"params": k}, g, training=False)
+    )(key, gop0)
+    cfg = TrainConfig(learning_rate=1e-4)
+
+    def loss_fn(p, gop, rng_):
+        recons, liks = spec.module.apply(p, gop, training=True, rng=rng_)
+        denom = gop.shape[2] * gop.shape[3]
+        bpp = 0.0
+        pred_err = 0.0
+        for d in liks:
+            for name in ("keyframe", "motion", "residual"):
+                if name in d:
+                    bpp = bpp + (
+                        bits_estimate(d[name]["y"]) + bits_estimate(d[name]["z"])
+                    )
+            for pe in d.get("pred_err", []):
+                pred_err = pred_err + jnp.sqrt(jnp.sum(pe ** 2))
+        bpp = bpp / (denom * gop.shape[0])
+        mse = jnp.mean((recons - gop) ** 2)
+        aux = spec.module.apply(p, method="aux_loss")
+        loss = r * mse * gop.shape[0] + bpp * gop.shape[0] + pred_err + aux
+        return loss, {"loss": loss, "mse": mse, "bpp": bpp}
+
+    def run_stage(params, tx, n, key, label):
+        opt_state = tx.init(params)
+
+        def jstep(p, st, gop, rng_):
+            (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, gop, rng_)
+            updates, st = tx.update(grads, st, p)
+            return optax.apply_updates(p, updates), st, m
+
+        CHUNK = 25
+
+        @jax.jit
+        def multi_step(p, st, gops, keys):
+            def body(carry, inp):
+                p_, st_ = carry
+                g, k = inp
+                p_, st_, m = jstep(p_, st_, g, k)
+                return (p_, st_), m
+            (p, st), ms = jax.lax.scan(body, (p, st), (gops, keys))
+            return p, st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        t0 = time.time()
+        jstep1 = jax.jit(jstep)
+        for s in range(0, n, CHUNK):
+            k = min(CHUNK, n - s)
+            gops = jnp.stack([jnp.asarray(gen(rng))[:, None] for _ in range(k)])
+            key, *sks = jax.random.split(key, k + 1)
+            if k != CHUNK:
+                for i in range(k):
+                    params, opt_state, m = jstep1(params, opt_state, gops[i], sks[i])
+            else:
+                params, opt_state, m = multi_step(
+                    params, opt_state, gops, jnp.stack(sks))
+            psnr = 10 * np.log10(1.0 / max(float(m["mse"]), 1e-12))
+            print(f"  [{label}] step {s + k - 1:4d} loss {float(m['loss']):9.2f} "
+                  f"psnr {psnr:6.2f} bpp {float(m['bpp']):6.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        return params, key
+
+    params, key = run_stage(params, make_optimizer(cfg), steps, key, "default")
+    for stage in (0, 1, 2):
+        params, key = run_stage(
+            params, make_elfvc_stage_optimizer(cfg, stage), max(steps // 9, 1),
+            key, f"spstage{stage}",
+        )
+    return params
+
+
 def train_mcvc(spec, steps: int, seed: int = 0):
     """MCVC-IA resilience recipe (models.py:2146-2183): per-GOP sampled view
     failures, distortion supervised over ALL views (failed views included, so
@@ -366,6 +458,8 @@ def main():
                   f"{steps} steps", flush=True)
             if fam == "mcvc":
                 params = train_mcvc(spec, steps)
+            elif spec.family == "elfvc":
+                params = train_elfvc(spec, steps, gen=gen)
             elif spec.family == "ssf":
                 params = train_ssf(spec, steps, gen=gen)
             else:
