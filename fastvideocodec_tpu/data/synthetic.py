@@ -83,7 +83,8 @@ def synth_mv_gop(rng: np.random.Generator, views: int = 3, size: int = 64,
 
 def synth_gop_multi(rng: np.random.Generator, size: int = 128, gop: int = 8,
                     n_objects: int = 2, max_bg_motion: int = 4,
-                    max_obj_motion: int = 8, noise: float = 0.005):
+                    max_obj_motion: int = 8, noise: float = 0.005,
+                    smooth_rounds: int = 3):
     """Multi-object motion clips with real motion boundaries.
 
     A smooth background translates by a per-clip constant (|v| <=
@@ -100,14 +101,16 @@ def synth_gop_multi(rng: np.random.Generator, size: int = 128, gop: int = 8,
     H = W = size
     T = gop
     pad = max(max_bg_motion, max_obj_motion) * T + 8
-    bg = _smooth(rng.random((H + 2 * pad, W + 2 * pad, 3)).astype(np.float32))
+    bg = _smooth(rng.random((H + 2 * pad, W + 2 * pad, 3)).astype(np.float32),
+                 rounds=smooth_rounds)
     bg_v = rng.integers(-max_bg_motion, max_bg_motion + 1, size=2)  # (dy, dx)
 
     objs = []
     for _ in range(n_objects):
         r_h = int(rng.integers(H // 8, H // 3))
         r_w = int(rng.integers(W // 8, W // 3))
-        tex = _smooth(rng.random((2 * r_h, 2 * r_w, 3)).astype(np.float32))
+        tex = _smooth(rng.random((2 * r_h, 2 * r_w, 3)).astype(np.float32),
+                      rounds=smooth_rounds)
         # soft elliptical alpha so edges don't ring
         yy = (np.arange(2 * r_h) - r_h + 0.5) / r_h
         xx = (np.arange(2 * r_w) - r_w + 0.5) / r_w
@@ -140,3 +143,17 @@ def synth_gop_multi(rng: np.random.Generator, size: int = 128, gop: int = 8,
             f = f + rng.normal(0, noise, f.shape).astype(np.float32)
         frames.append(np.clip(f, 0, 1))
     return np.stack(frames)
+
+
+def synth_gop_lowrate(rng: np.random.Generator, size: int = 128, gop: int = 8):
+    """Low-entropy variant of the multi-object rung: the SAME scene
+    structure (translating background + independently-moving soft-edged
+    objects — real motion boundaries) but noise-free and heavily smoothed
+    (8 blur rounds), so trained codecs operate in the reference's
+    low-bpp regime (bpp 0.04-1.05 at 32-44 dB, plot_hermes.py:482-499 /
+    plot_vesper.py:679-680) instead of the noisy tiny rung's 1.1-2.2 bpp.
+    Zero-dominated latents at these rates stress the entropy stack's CDF
+    tails and the range coder's escape path — the low-rate golden tests'
+    purpose (tests/test_rd.py TestLowRateRung)."""
+    return synth_gop_multi(rng, size=size, gop=gop, noise=0.0,
+                           smooth_rounds=8)

@@ -826,6 +826,118 @@ class TestGoldenRDELFVCTPU:
 
 
 @pytest.mark.slow
+class TestLowRateRung:
+    """The low-rate golden rung (VERDICT r4 item 3): trained points in the
+    REFERENCE's operating regime (bpp ~0.04-1.05 at 32-44 dB,
+    plot_hermes.py:482-499 / plot_vesper.py:679-680) instead of the noisy
+    tiny rung's 1.1-2.2 bpp. Assets lr_{lsvc128,lsvctpu}_l{0,2,4} (128px
+    GOP8 low-entropy multi-object corpus, 3000-step recipe) and
+    lr_ssf_l{0,2,4} (SSF-TINY at 64px). Zero-dominated latents here
+    stress the entropy stack where the north star lives: the tests pin
+    (a) placement in the low-rate window, (b) decode==encode identity,
+    (c) est-vs-actual bits <= 2% + per-stream flush overhead, (d) the
+    flagship's BD-rate vs LSVC-128 re-measured at this rung."""
+
+    SIZE, GOP, LEVELS = 128, 8, (0, 2, 4)
+
+    def _lsvc_curve(self, name: str, fam: str, clips, check_est=False):
+        from fastvideocodec_tpu.coder.video import lsvc_compress, lsvc_decompress
+        from fastvideocodec_tpu.gop import rollout
+        from fastvideocodec_tpu.train.checkpoint import asset_params
+
+        spec = get_codec_model(name)
+        denom = (self.GOP - 1) * self.SIZE * self.SIZE
+        bpps, psnrs = [], []
+        for level in self.LEVELS:
+            params = asset_params(f"lr_{fam}_l{level}")
+            if params is None:
+                pytest.skip(f"missing asset lr_{fam}_l{level}")
+            bs, ps = [], []
+            for gop in clips:
+                streams, recon, bits = lsvc_compress(spec, params, gop)
+                out = lsvc_decompress(spec, params, gop[0], streams,
+                                      self.GOP - 1)
+                assert bool(jnp.all(out == recon))
+                if check_est:
+                    _, m = rollout(spec, params, gop, training=False, rng=None)
+                    est_bits = float(m["bpp"]) * denom
+                    n_streams = 1 + 2 * int(np.log2(self.GOP))
+                    # actual may exceed estimate by coder flush overhead +
+                    # 2% (zero-heavy latents: CDF tails + escape path)
+                    excess = bits - est_bits
+                    assert excess < n_streams * 96 + 0.02 * est_bits + 64, (
+                        level, bits, est_bits
+                    )
+                    assert bits > 0.90 * est_bits, (level, bits, est_bits)
+                bs.append(bits / denom)
+                mse = float(jnp.mean((recon - gop[1:]) ** 2))
+                ps.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            bpps.append(float(np.mean(bs)))
+            psnrs.append(float(np.mean(ps)))
+        return bpps, psnrs
+
+    def test_lowrate_window_identity_and_flagship_gap(self):
+        from fastvideocodec_tpu.analysis.bdrate import bd_psnr, bd_rate
+        from fastvideocodec_tpu.data.synthetic import synth_gop_lowrate
+
+        rng = np.random.default_rng(123)
+        clips = [
+            jnp.asarray(synth_gop_lowrate(rng, size=self.SIZE, gop=self.GOP))
+            for _ in range(3)
+        ]
+        ref = self._lsvc_curve("LSVC-128", "lsvc128", clips, check_est=True)
+        tpu = self._lsvc_curve("LSVC-TPU", "lsvctpu", clips, check_est=True)
+        print(f"lr LSVC-128: {list(zip(*ref))}")
+        print(f"lr LSVC-TPU: {list(zip(*tpu))}")
+        # (a) the rung actually lives in the low-rate window: at least
+        # two points per family inside bpp [0.03, 0.9], top PSNR >= 30 dB
+        for bpps, psnrs in (ref, tpu):
+            in_window = [b for b in bpps if 0.03 <= b <= 0.9]
+            assert len(in_window) >= 2, bpps
+            assert max(psnrs) >= 30.0, psnrs
+            assert bpps[0] < bpps[2] and psnrs[0] < psnrs[2], (bpps, psnrs)
+        # (d) flagship gap re-measured at the reference's regime
+        bdr = bd_rate(*ref, *tpu)
+        bdp = bd_psnr(*ref, *tpu)
+        print(f"low-rate BD-rate(TPU vs 128): {bdr:+.1f}%  BD-PSNR {bdp:+.3f}")
+        assert bdr < 10.0, (bdr, ref, tpu)
+
+    def test_ssf_lowrate_points(self):
+        from fastvideocodec_tpu.coder.video import (
+            ssf_compress_gop,
+            ssf_decompress_gop,
+        )
+        from fastvideocodec_tpu.data.synthetic import synth_gop_lowrate
+        from fastvideocodec_tpu.train.checkpoint import asset_params
+
+        spec = get_codec_model("SSF-TINY")
+        rng = np.random.default_rng(123)
+        clips = [
+            jnp.asarray(synth_gop_lowrate(rng, size=64, gop=4))[:, None]
+            for _ in range(3)
+        ]
+        bpps, psnrs = [], []
+        for level in self.LEVELS:
+            params = asset_params(f"lr_ssf_l{level}")
+            if params is None:
+                pytest.skip(f"missing asset lr_ssf_l{level}")
+            bs, ps = [], []
+            for gop in clips:
+                streams, recon, bits = ssf_compress_gop(spec, params, gop)
+                assert bool(jnp.all(
+                    ssf_decompress_gop(spec, params, streams) == recon
+                ))
+                bs.append(bits / (4 * 64 * 64))
+                mse = float(jnp.mean((recon - gop) ** 2))
+                ps.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+            bpps.append(float(np.mean(bs)))
+            psnrs.append(float(np.mean(ps)))
+        print(f"lr SSF: {list(zip(bpps, psnrs))}")
+        assert bpps[0] < bpps[2] and psnrs[0] < psnrs[2], (bpps, psnrs)
+        assert min(bpps) < 0.9, bpps  # lands below the noisy rung's floor
+
+
+@pytest.mark.slow
 class TestHD192Trend:
     """The raised golden rung (VERDICT round-3 item 7): the flagship pair
     at 192px GOP 8 (assets/hd192_{lsvc128,lsvctpu}_l{0,2,4}.npz, 1500

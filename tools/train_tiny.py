@@ -41,7 +41,11 @@ from fastvideocodec_tpu.ops import bits_estimate
 from fastvideocodec_tpu.train import TrainConfig, make_train_step
 from fastvideocodec_tpu.train.trainer import make_optimizer
 
-from fastvideocodec_tpu.data.synthetic import synth_gop, synth_gop_multi
+from fastvideocodec_tpu.data.synthetic import (
+    synth_gop,
+    synth_gop_lowrate,
+    synth_gop_multi,
+)
 
 from test_rd import TestGoldenRDMCVC  # noqa: E402
 
@@ -120,6 +124,22 @@ FAMILIES = {
     "lsvctpu_192": (lambda lvl: get_codec_model(
         "LSVC-TPU", compression_level=lvl), (0, 2, 4), 1500,
         lambda rng: synth_gop_multi(rng, size=192, gop=8)),
+    # the LOW-RATE golden rung (VERDICT r4 item 3): the same multi-object
+    # scene structure, noise-free + heavily smoothed, so the trained
+    # points land in the reference's operating regime (bpp 0.1-0.8 at
+    # >=30 dB) where zero-heavy latents stress the entropy stack's CDF
+    # tails and escape path. Full reference widths, 3000-step recipe.
+    "lsvc128_lr": (lambda lvl: get_codec_model(
+        "LSVC-128", compression_level=lvl), (0, 2, 4), 3000,
+        synth_gop_lowrate),
+    "lsvctpu_lr": (lambda lvl: get_codec_model(
+        "LSVC-TPU", compression_level=lvl), (0, 2, 4), 3000,
+        synth_gop_lowrate),
+    # SSF at the low-rate rung (miniature widths; 64px GOP4 keeps the
+    # sequential scan cheap) — the third family the VERDICT item names
+    "ssf_lr": (lambda lvl: get_codec_model(
+        "SSF-TINY", compression_level=lvl), (0, 2, 4), 800,
+        lambda rng: synth_gop_lowrate(rng, size=64, gop=4)),
     # the reference operating point, one rung closer: 256x256 GOP 16
     # (VERDICT round-2 item 9 — eval runs at 2048x1024 GOP 16,
     # eval.py:495-496; this is the largest rung this environment's
@@ -469,6 +489,8 @@ def main():
                 prefix, stem = "hd_", fam[:-3]
             elif fam.endswith("_192"):
                 prefix, stem = "hd192_", fam[:-4]
+            elif fam.endswith("_lr"):
+                prefix, stem = "lr_", fam[:-3]
             else:
                 prefix, stem = "tiny_", fam
             path = os.path.join(args.out, f"{prefix}{stem}_l{lvl}.npz")
