@@ -82,6 +82,10 @@ class LSVC(nn.Module):
     warp_width: int = 64         # WarpNet trunk width
     warp_tpu: bool = False       # use the strided-trunk WarpNetTPU
     warp_stride: int = 4         # WarpNetTPU stem stride (trunk at /stride)
+    warp_pooled: bool = False    # '-QU': run the reference-shape U-net one
+    # resolution down (avg-pool input, bilinear-upsample its correction;
+    # the residual add keeps the warped frame's full detail) — the decode-
+    # headroom middle ground between the U-net and the rejected '-WT'
     mv_polyphase_out: bool = False  # SynthesisMVNet polyphase output stage
     mc_displacement: int = 0     # >0: bound MC-warp displacement (Pallas
     # halo radius, in MC-warp-domain pixels); 0 = backend default
@@ -179,7 +183,12 @@ class LSVC(nn.Module):
             )
         else:
             warped = flow_warp(ref, mv, max_displacement=r)
-        pred = self.warpnet(jnp.concatenate([warped, ref], axis=-1)) + warped
+        inp = jnp.concatenate([warped, ref], axis=-1)
+        if self.warp_pooled:
+            corr = bilinear_upsample_x2(self.warpnet(avg_pool2(inp)))
+            pred = corr + warped
+        else:
+            pred = self.warpnet(inp) + warped
         return pred, warped
 
     def res_codec(self, res, training, rng):

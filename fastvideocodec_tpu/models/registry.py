@@ -166,8 +166,16 @@ def get_codec_model(
             # '-WT': MC refinement = WarpNetTPU with a stride-2 stem and a
             # 128-wide trunk at /2 of the s2d domain (/4 of full res)
             # instead of the reference-shape U-net — ~3x cheaper
-            # refinement; RD priced at the hd rung (assets/TINY_RD.md).
+            # refinement; RD priced at the hd rung (assets/TINY_RD.md):
+            # REJECTED as default at +23.4% BD-rate.
             wt = "-WT" in name
+            # decode-headroom middle grounds between the U-net (52 fps
+            # r4 decode) and '-WT' (VERDICT r4 item 5):
+            #   '-HU' — half-width (32) reference-shape U-net
+            #   '-QU' — full-width U-net one resolution down (pooled
+            #           input, upsampled correction, full-res residual)
+            hu = "-HU" in name
+            qu = "-QU" in name
             module = LSVC(
                 channels=128,
                 conv_channels=128,
@@ -178,7 +186,8 @@ def get_codec_model(
                 mv_polyphase_out=True,
                 warp_tpu=wt,
                 warp_stride=2,
-                warp_width=128 if wt else 64,
+                warp_width=128 if wt else (32 if hu else 64),
+                warp_pooled=qu,
                 mc_displacement=28,
                 full_res_warp=not rigid,
                 mv_full_res_out=not (rigid or halfres),

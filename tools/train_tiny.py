@@ -114,6 +114,13 @@ FAMILIES = {
     # can become the default.
     "lsvctpuwt_hd": (lambda lvl: get_codec_model(
         "LSVC-TPU-WT", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    # decode-headroom candidates (VERDICT r4 item 5): the space between
+    # the reference-shape U-net and the rejected '-WT' — each priced at
+    # the standard 128px/3000-step rung before any default change.
+    "lsvctpuhu_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU-HU", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
+    "lsvctpuqu_hd": (lambda lvl: get_codec_model(
+        "LSVC-TPU-QU", compression_level=lvl), (0, 2, 4), 3000, _hd_gen),
     # the raised golden rung (VERDICT round-3 item 7): the flagship pair
     # one resolution step up (192px, GOP 8, same corpus family) — tests
     # the 'gap shrinks with resolution' hypothesis with a measured
