@@ -733,9 +733,11 @@ class TestGoldenRDSSFTPU:
         and BD-rate polyfits degenerate; the robust comparison is
         matched-rate quality: for every (stock, TPU) level pair within
         10%% rate of each other, the TPU variant's PSNR must be within
-        0.5 dB of stock. Measured at asset-training time: the closest
-        pair (stock l0 0.1162 bpp / 17.07 dB vs TPU l2 0.1164 bpp /
-        17.31 dB) has the TPU variant AHEAD by +0.24 dB."""
+        0.5 dB of stock. Measured at round-5 asset-training time (the
+        s2d-PIPELINE + pyramid-volume config): all three matched pairs
+        have the TPU variant AHEAD (stock 17.07 dB at ~0.116 bpp vs TPU
+        17.25/17.49/17.57 dB) — the 9.9 -> 36.7 fps redesign is RD-free
+        at this rung."""
         rng = np.random.default_rng(123)
         clips = [jnp.asarray(synth_gop(rng))[:, None] for _ in range(3)]
         ref = self._curve("SSF-TINY", "ssf", clips)
