@@ -66,6 +66,9 @@ def main():
                     "flagship headline (and halves the Pallas out-block, "
                     "which XLA's memory-space assignment may place in "
                     "scoped VMEM at B=1)")
+    ap.add_argument("--json", default="",
+                    help="also append the summary as one JSON line to this "
+                    "path (the published REAL_BITS_r{N}.json artifact)")
     args = ap.parse_args()
     os.environ["FVC_CODER_WARP"] = args.warp
 
@@ -118,7 +121,7 @@ def main():
             print(f"  warm-up: enc {t_enc:.2f}s dec {t_dec:.2f}s "
                   f"bpp {bpp:.4f}", flush=True)
             continue
-        results.append((t_enc, t_dec, bpp))
+        results.append((t_enc, t_dec, bpp, enc_ac["seconds"], dec_ac["seconds"]))
         print(f"  rep {rep}: enc {t_enc:.2f}s ({P / t_enc:.1f} fps, "
               f"AC {enc_ac['seconds']:.2f}s)  "
               f"dec {t_dec:.2f}s ({P / t_dec:.1f} fps, "
@@ -134,6 +137,21 @@ def main():
         f"(bpp {results[-1][2]:.4f}, trained={trained})",
         flush=True,
     )
+    if args.json:
+        import json
+
+        best = min(results, key=lambda r: r[0] + r[1])
+        with open(args.json, "a") as f:
+            f.write(json.dumps({
+                "tool": "real_bits_fps", "warp": args.warp,
+                "dtype": args.dtype, "h": args.h, "w": args.w, "gop": T,
+                "level": args.level, "trained": trained,
+                "enc_fps": round(P / enc, 2), "dec_fps": round(P / dec, 2),
+                "encdec_fps": round(P / both, 2),
+                "enc_s": round(best[0], 3), "dec_s": round(best[1], 3),
+                "enc_ac_s": round(best[3], 3), "dec_ac_s": round(best[4], 3),
+                "bpp": round(best[2], 4), "identity": True,
+            }) + "\n")
 
 
 if __name__ == "__main__":
