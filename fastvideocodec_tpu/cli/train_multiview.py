@@ -36,7 +36,8 @@ from fastvideocodec_tpu.utils.logs import write_eval_log
 def parse_args(argv=None):
     p = argparse.ArgumentParser("fvc-train-multiview")
     p.add_argument("--codec", default="MCVC-IA-OLFT")
-    p.add_argument("--dataset-dir", required=True)
+    # --task speed runs on synthetic frames and needs no dataset
+    p.add_argument("--dataset-dir", default="")
     p.add_argument("--category", type=int, default=0)
     p.add_argument("--compression-level", type=int, default=2)
     p.add_argument("--loss-type", default="P", choices=["P", "M"])
@@ -247,10 +248,14 @@ def main(argv=None):
     args = parse_args(argv)
     if args.task == "speed":
         return speed_test(args)
+    if not args.dataset_dir:
+        raise SystemExit("--dataset-dir is required for this task")
     if args.task == "x26x":
         return x26x_multicam(args)
     if args.task == "eval":
         return eval_multicam(args)
+    if not args.dataset_dir:
+        raise SystemExit("--dataset-dir is required for this task")
     train_ds = MultiViewVideoDataset(
         args.dataset_dir, args.category, gop_size=args.gop, split="train",
         frame_size=args.frame_size, c2s_ratio=args.c2s_ratio,

@@ -142,6 +142,16 @@ def _m_mv_decoder(m, q):
     return m.mv_decoder(q)
 
 
+def _m_lsvc_mv_encode(m, t, r):
+    # rounded int16 symbols straight out of the program: no eager round
+    # dispatch, half the relay transfer (see _m_lsvc_layer)
+    return jnp.round(m.mv_encoder(m.optic_flow(t, r))).astype(jnp.int16)
+
+
+def _m_lsvc_mv_decoder(m, q_i16):
+    return m.mv_decoder(q_i16.astype(jnp.float32))
+
+
 def _m_motioncompensation(m, r, d):
     return m.motioncompensation(r, d)
 
@@ -172,9 +182,14 @@ def _m_prior_encoder(m, f):
 #   - _m_lsvc_analyze: encoder-only analysis (its internal mc may fuse
 #     differently from the shared layer's — harmless, it only shapes
 #     what gets quantized, not how both sides reconstruct).
-def _m_lsvc_layer(m, refs, mv_hat_l, feat_q):
+def _m_lsvc_layer(m, refs, mv_hat_l, feat_q_i16):
+    # symbols travel as int16 (the tunneled relay's host<->device
+    # bandwidth is the real-bits floor; f32 symbol tensors doubled it) —
+    # cast inside the shared program so encode (device int16 from
+    # analyze) and decode (uploaded int16) run the identical graph
     ref = jnp.stack(refs)
     mc, _ = m.motioncompensation(ref, mv_hat_l)
+    feat_q = feat_q_i16.astype(mc.dtype)
     return jnp.clip(m.res_decoder(feat_q) + mc, 0.0, 1.0)
 
 
@@ -183,11 +198,16 @@ def _m_lsvc_analyze(m, refs, mv_hat_l, tgt):
     mc, _ = m.motioncompensation(ref, mv_hat_l)
     feature = m.res_encoder(tgt - mc)
     z_q = jnp.round(m.prior_encoder(feature))
-    return z_q, jnp.round(feature)
+    return z_q.astype(jnp.int16), jnp.round(feature).astype(jnp.int16)
 
 
-def _m_lsvc_sigmas(m, z_qs):
-    return tuple(m.prior_decoder(z) for z in z_qs)
+def _m_lsvc_sigmas(m, z_qs_i16):
+    # f16 output: the host Laplace coder quantizes sigma into its scale
+    # table; both sides fetch THIS program's f16, so the tables match
+    return tuple(
+        m.prior_decoder(z.astype(jnp.float32)).astype(jnp.float16)
+        for z in z_qs_i16
+    )
 
 
 def _m_prior_decoder(m, zq):
@@ -324,18 +344,17 @@ def lsvc_compress(spec: CodecSpec, params, gop: jax.Array):
 
     target = gop[1:]
 
-    mv_latent = _apply(
-        spec, params, _m_mv_encode_flow,
+    mv_q = _apply(
+        spec, params, _m_lsvc_mv_encode,
         gop_flow[1:], gop_flow[jnp.asarray(sched.ref_index)],
-    )
-    mv_q = jnp.round(mv_latent)
+    )  # int16 symbols (half the relay transfer; round fused in-program)
     # host coding overlaps the device tree recursion: recon depends on the
     # quantized latents only, never on the bytes
     from fastvideocodec_tpu.coder import AsyncCoder
 
     coder = AsyncCoder(workers=2)
     mv_future = coder.submit(mv_codec.compress, np.asarray(mv_q))
-    mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
+    mv_hat = _apply(spec, params, _m_lsvc_mv_decoder, mv_q)
 
     # Two fused device calls per tree layer (analyze + the shared recon
     # program — see _m_lsvc_layer's comment for why recon and sigmas must
@@ -408,16 +427,21 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
 
     mv_q = jnp.asarray(
         mv_codec.decompress(streams["mv"], streams["mv_shape"])
+        .astype(np.int16)
     )
-    mv_hat = _apply(spec, params, _m_mv_decoder, mv_q)
+    mv_hat = _apply(spec, params, _m_lsvc_mv_decoder, mv_q)
 
     # every layer's z is independent of the tree recursion: decode them
     # all upfront, derive ALL sigmas in one batched device call (the same
     # program the encoder ran — bitwise-matching CDF tables), then the
     # recursive chain is ONE fused device call per layer (plus the host
-    # Laplace decode feeding it) instead of three
+    # Laplace decode feeding it) instead of three. Symbols travel int16
+    # both ways (transfer bandwidth over the tunneled relay is the
+    # real-bits floor).
     z_qs = tuple(
-        jnp.asarray(z_codec.decompress(streams["z"][li], streams["z_shapes"][li]))
+        jnp.asarray(z_codec.decompress(
+            streams["z"][li], streams["z_shapes"][li]
+        ).astype(np.int16))
         for li in range(len(sched.layers))
     )
     sigmas = _apply(spec, params, _m_lsvc_sigmas, z_qs)
@@ -430,7 +454,7 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
         feat_q = jnp.asarray(
             feat_codec.decompress(
                 streams["features"][li], sigmas_np[li]
-            ).reshape(streams["feat_shapes"][li])
+            ).astype(np.int16).reshape(streams["feat_shapes"][li])
         )
         com_frames = _apply(
             spec, params, _m_lsvc_layer, refs, mv_hat[ids], feat_q
