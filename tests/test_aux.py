@@ -613,3 +613,25 @@ class TestOlftImprovesHeldout:
         print(f"OLFT held-out PSNR: {base:.2f} -> {after:.2f} dB")
         # measured +1.32 dB; assert half of it so seed jitter can't flake
         assert after - base > 0.6, (base, after)
+
+
+class TestSpeedTaskNeedsNoDataset:
+    def test_parse_args_speed_without_dataset_dir(self):
+        """`--task speed` runs on synthetic frames (README drives it with
+        no dataset); --dataset-dir must only be required for the
+        dataset-backed tasks (round-5 fix: it was required=True and the
+        documented speed invocation died in argparse)."""
+        from fastvideocodec_tpu.cli.train_multiview import parse_args
+
+        args = parse_args(["--task", "speed"])
+        assert args.task == "speed" and args.dataset_dir == ""
+
+    def test_dataset_tasks_still_require_dir(self):
+        from fastvideocodec_tpu.cli.train_multiview import main as mv_main
+
+        import pytest
+
+        with pytest.raises(SystemExit, match="dataset-dir"):
+            mv_main(["--task", "eval"])
+        with pytest.raises(SystemExit, match="dataset-dir"):
+            mv_main(["--task", "train"])
