@@ -169,7 +169,7 @@ def flatten_f16(tree, prefix=""):
 
 
 def train_single_view(spec, steps: int, seed: int = 0, gen=synth_gop,
-                      decay: bool = False):
+                      decay: bool = False, r_bpp: float = 1.0):
     """RLVC/DVC/Base recipe: make_train_step over the per-family rollout
     (Base-ER with the soft2hard three-pass schedule, models.py:318-344).
 
@@ -177,8 +177,13 @@ def train_single_view(spec, steps: int, seed: int = 0, gen=synth_gop,
     (halving every steps/4, floor 1e-5) — the reference's per-epoch LR
     decay (train.py:403-409) mapped onto a fixed step budget; the hd-rung
     runs need the tail LR to reach an RD operating point."""
+    # r_bpp > 1 re-weights the rate term (equivalently scales the whole
+    # lambda ladder down by r_bpp) — the low-rate rung's knob: the
+    # standard ladder's estimated-rate floor sits at ~1.3 bpp after 3000
+    # steps even on the clean corpus (the factorized EBs collapse slowly)
     cfg = TrainConfig(
         learning_rate=1e-4,
+        r_bpp=r_bpp,
         soft2hard=getattr(spec.module, "use_er", False),
     )
     from fastvideocodec_tpu.cli.train import init_params
@@ -231,7 +236,8 @@ def train_single_view(spec, steps: int, seed: int = 0, gen=synth_gop,
     return params
 
 
-def train_ssf(spec, steps: int, seed: int = 0, gen=synth_gop):
+def train_ssf(spec, steps: int, seed: int = 0, gen=synth_gop,
+              r_bpp: float = 1.0):
     """SSF-family recipe (assets/TINY_RD.md tiny_ssf): loss r*mse + bpp +
     aux over the FULL __call__ chain — keyframe img_hyperprior included,
     since the real-bits ssf_compress_gop codes frame 0 through the learned
@@ -256,7 +262,7 @@ def train_ssf(spec, steps: int, seed: int = 0, gen=synth_gop):
         ) / (denom * gop.shape[0])
         mse = jnp.mean((recons - gop) ** 2)
         aux = spec.module.apply(p, method="aux_loss")
-        loss = r * mse * gop.shape[0] + bpp * gop.shape[0] + aux
+        loss = r * mse * gop.shape[0] + r_bpp * bpp * gop.shape[0] + aux
         return loss, {"loss": loss, "mse": mse, "bpp": bpp}
 
     def jstep(p, st, gop, rng_):
@@ -470,6 +476,9 @@ def main():
     ap.add_argument("--levels", type=int, nargs="*", default=None,
                     help="subset of the family's lambda levels to (re)train")
     ap.add_argument("--out", default=ASSETS)
+    ap.add_argument("--r-bpp", type=float, default=1.0,
+                    help="rate-term weight (scales the whole lambda ladder "
+                    "down by this factor — the low-rate rung trains with 8)")
     ap.add_argument("--decay", action="store_true",
                     help="stepped LR decay (hd-rung recipe)")
     args = ap.parse_args()
@@ -488,10 +497,11 @@ def main():
             elif spec.family == "elfvc":
                 params = train_elfvc(spec, steps, gen=gen)
             elif spec.family == "ssf":
-                params = train_ssf(spec, steps, gen=gen)
+                params = train_ssf(spec, steps, gen=gen, r_bpp=args.r_bpp)
             else:
                 params = train_single_view(spec, steps, gen=gen,
-                                           decay=args.decay)
+                                           decay=args.decay,
+                                           r_bpp=args.r_bpp)
             if fam.endswith("_hd"):
                 prefix, stem = "hd_", fam[:-3]
             elif fam.endswith("_192"):
