@@ -447,20 +447,32 @@ def lsvc_decompress(spec: CodecSpec, params, iframe: jax.Array, streams: dict,
     sigmas = _apply(spec, params, _m_lsvc_sigmas, z_qs)
     sigmas_np = [np.asarray(s) for s in sigmas]
 
+    # every layer's feature decode depends only on ITS sigma — run them
+    # all on host worker threads now so layer k+1's (often the largest)
+    # range decode overlaps layer k's device reconstruction
+    from fastvideocodec_tpu.coder import AsyncCoder
+
+    coder = AsyncCoder(workers=4)
+    feat_futures = [
+        coder.submit(
+            lambda li=li: feat_codec.decompress(
+                streams["features"][li], sigmas_np[li]
+            ).astype(np.int16).reshape(streams["feat_shapes"][li])
+        )
+        for li in range(len(sched.layers))
+    ]
+
     com = [None] * num_p_frames
     for li, layer in enumerate(sched.layers):
         refs = [iframe if sched.parents[f] == 0 else com[sched.parents[f] - 1] for f in layer]
         ids = jnp.asarray([f - 1 for f in layer])
-        feat_q = jnp.asarray(
-            feat_codec.decompress(
-                streams["features"][li], sigmas_np[li]
-            ).astype(np.int16).reshape(streams["feat_shapes"][li])
-        )
+        feat_q = jnp.asarray(feat_futures[li].result())
         com_frames = _apply(
             spec, params, _m_lsvc_layer, refs, mv_hat[ids], feat_q
         )
         for i, f in enumerate(layer):
             com[f - 1] = com_frames[i]
+    coder.shutdown()
     out = jnp.stack(com)
     if s2d > 1:
         out = depth_to_space(out, s2d)
