@@ -88,27 +88,42 @@ def parse_args(argv=None):
 
 
 def speed_test(args):
-    """Encode(+decode) fps vs number of views on synthetic 256x256 inputs
-    (reference speed-test mode + its measured table,
-    train_multiview.py:535-552)."""
+    """Encode(+decode) fps vs number of views on synthetic 256x256 bf16
+    inputs (reference speed-test mode + its measured table,
+    train_multiview.py:535-552; anchor: 140-284 fps server decode across
+    1-6 views, plot_mcvc.py:713-722).
+
+    bf16 like every other published speed number (speed_sweep/bench);
+    honest relay timing: inputs are rescaled between iterations (the
+    axon relay memoizes identical executions) and the rollout reduces to
+    scalars that are host-materialized (block_until_ready on device
+    buffers can return early)."""
     key = jax.random.PRNGKey(args.seed)
     rows = []
     for nv in range(1, args.max_views + 1):
         spec = get_codec_model(args.codec if "MCVC" in args.codec else "MCVC-IA",
-                               num_views=nv)
-        gop = jax.random.uniform(key, (args.gop, nv, 256, 256, 3))
+                               num_views=nv, dtype=jnp.bfloat16)
+        gop = jax.random.uniform(
+            key, (args.gop, nv, 256, 256, 3), dtype=jnp.bfloat16)
         mask = jnp.ones((nv,))
         params = jax.jit(partial(spec.module.init, training=False))(
             {"params": key}, gop[:2], mask
         )
-        jroll = jax.jit(partial(rollout, spec, training=False, rng=None))
-        out, m = jroll(params, gop, mask=mask)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out, m = jroll(params, gop, mask=mask)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        spf = dt / args.gop
+
+        def run(g):
+            out, m = rollout(spec, params, g, training=False, rng=None,
+                             mask=mask)
+            return jnp.mean(out), jnp.mean(m["bpp_est"])
+
+        jrun = jax.jit(run)
+        _ = [float(v) for v in jrun(gop)]  # compile + warm
+        ts = []
+        for i in range(3):
+            g = jax.block_until_ready(gop * (0.7 + 0.1 * i))
+            t0 = time.perf_counter()
+            _ = [float(v) for v in jrun(g)]
+            ts.append(time.perf_counter() - t0)
+        spf = sorted(ts)[1] / args.gop
         rows.append((nv, spf))
         print(f"views={nv}: {spf*1e3:.2f} ms/frame ({1/spf:.1f} fps)", flush=True)
     with open(f"{args.codec}.speed.log", "a") as f:

@@ -180,30 +180,44 @@ class MCVC(nn.Module):
 
         Returns (reconstructions [T, ...] — the *enhanced* (backup-decoded)
         frames for IA, likelihood pytrees list, references list) matching
-        the reference forward (models.py:2297-2352). The GOP loop is a
-        python loop over a static T (frames per GOP is fixed at trace time)
-        so the cross-view attention stays one fused batched op per frame.
-        """
+        the reference forward (models.py:2297-2352). The inter frames run
+        under nn.scan (params broadcast, carry = detached x_ref): every
+        inter step is identical, so the compiled program contains ONE
+        inter body instead of T-1 unrolled copies — at GOP 16 the python
+        unroll pushed XLA compile past 9 minutes on the remote chip. The
+        cross-view attention stays one fused batched op per frame (views
+        live in the body's batch axis, not the scan axis)."""
         T = frames.shape[0]
-        rngs = (
-            jax.random.split(rng, T) if rng is not None else [None] * T
-        )
+        use_rng = rng is not None
+        rngs = jax.random.split(rng, T) if use_rng else None
         x_ref, x_enh, lik0 = self.forward_keyframe(
-            frames[0], mask, training=training, rng=rngs[0]
+            frames[0], mask, training=training, rng=rngs[0] if use_rng else None
         )
-        recons = [x_enh]
-        refs = [x_ref]
-        liks = [lik0]
-        x_ref = jax.lax.stop_gradient(x_ref)
-        for i in range(1, T):
-            x_rec, x_enh, lik = self.forward_inter(
-                frames[i], x_ref, mask, training=training, rng=rngs[i]
+        if T == 1:
+            return x_enh[None], [lik0], x_ref[None]
+
+        def body(mdl, carry, xs):
+            x_cur, r = xs if use_rng else (xs, None)
+            x_rec, x_enh_i, lik = mdl.forward_inter(
+                x_cur, carry, mask, training=training, rng=r
             )
-            recons.append(x_enh)
-            refs.append(x_rec)
-            liks.append(lik)
-            x_ref = jax.lax.stop_gradient(x_rec)
-        return jnp.stack(recons), liks, jnp.stack(refs)
+            # outputs stay attached; only the NEXT frame's reference is
+            # detached (reference per-frame detach semantics)
+            return jax.lax.stop_gradient(x_rec), (x_rec, x_enh_i, lik)
+
+        scan = nn.scan(
+            body, variable_broadcast="params", split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )
+        xs = (frames[1:], rngs[1:]) if use_rng else frames[1:]
+        _, (refs_s, enh_s, liks_s) = scan(self, jax.lax.stop_gradient(x_ref), xs)
+        recons = jnp.concatenate([x_enh[None], enh_s], axis=0)
+        refs = jnp.concatenate([x_ref[None], refs_s], axis=0)
+        liks = [lik0] + [
+            jax.tree_util.tree_map(lambda a, i=i: a[i], liks_s)
+            for i in range(T - 1)
+        ]
+        return recons, liks, refs
 
     def aux_loss(self):
         return (
